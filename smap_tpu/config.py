@@ -131,7 +131,7 @@ class PostProcessConfig:
     nms_offset: float = 0.5
     # PAF line-integral scoring.
     inter_threshold: float = 0.05
-    inter_min_above_threshold: float = 0.95
+    inter_min_above_threshold: float = 0.95  # fraction of passing samples
     default_nms_threshold: float = 0.1
     # The CUDA kernel samples 5-25 points adaptively
     # (bodyPartConnectorBase.cu:19); we use a fixed count that is a multiple of

@@ -160,3 +160,66 @@ def associate_oracle(peaks, counts, paf_table, root_depth_map,
                 remap[dst_j][k1] = max_idx
                 used[max_idx] = 1
     return bodies, sort_depth
+
+
+def generate_relz_oracle(pred_bodys, paf_3d_upsamp, root_d_upsamp, scale,
+                         num_intermed_pts=10, root_n=2):
+    """Reference semantics of exps/stage3_root2/test_util.py:45-86.
+
+    pred_bodys: [P, 15, 4] at input resolution (modified in place: z column).
+    paf_3d_upsamp: [H, W, 14] nearest-upsampled delta-Z channels.
+    root_d_upsamp: [H, W] nearest-upsampled root depth.
+    Returns depth_roots_pred [P].
+    """
+    num_limbs = len(JOINT_PAIRS)
+    depth_v = np.zeros((len(pred_bodys), num_limbs))
+    depth_roots_pred = np.zeros(len(pred_bodys))
+    for i, body in enumerate(pred_bodys):
+        if body[root_n][3] <= 0:
+            continue
+        depth_roots_pred[i] = (root_d_upsamp[int(body[root_n][1]),
+                                             int(body[root_n][0])]
+                               * scale['scale'] * scale['f_x'])
+        for k, (a, b) in enumerate(JOINT_PAIRS):
+            src, dst = body[a], body[b]
+            if dst[3] > 0 and src[3] > 0:
+                xs = np.round(np.linspace(src[0], dst[0], num_intermed_pts))
+                ys = np.round(np.linspace(src[1], dst[1], num_intermed_pts))
+                vals = paf_3d_upsamp[ys.astype(int), xs.astype(int), k].copy()
+                lo, hi = np.percentile(vals, [10, 90])
+                vals[vals < lo] = lo
+                vals[vals > hi] = hi
+                depth_v[i][k] = vals.mean()
+        # chain_bones (root_n == 2)
+        body[2][2] = 0.0
+        body[0][2] = body[2][2] - depth_v[i][1]
+        body[1][2] = body[0][2] + depth_v[i][0]
+        for k in range(2, num_limbs):
+            s, d = JOINT_PAIRS[k]
+            body[d][2] = body[s][2] + depth_v[i][k]
+    return depth_roots_pred
+
+
+def gen_3d_pose_oracle(pred_bodys, depth_roots, scale):
+    """Reference semantics of test_util.py:89-99 + post_3d.py:4-27."""
+    bodys = pred_bodys.copy()
+    bodys[:, :, 0] = bodys[:, :, 0] / scale['scale'] - \
+        (scale['net_width'] / scale['scale'] - scale['img_width']) / 2
+    bodys[:, :, 1] = bodys[:, :, 1] / scale['scale'] - \
+        (scale['net_height'] / scale['scale'] - scale['img_height']) / 2
+    K = np.array([[scale['f_x'], 0, scale['cx']],
+                  [0, scale['f_y'], scale['cy']], [0, 0, 1]])
+    out = np.zeros_like(bodys)
+    out[:, :, 3] = bodys[:, :, 3]
+    for i in range(len(bodys)):
+        if bodys[i, 2, 3] == 0:
+            out[i] = 0
+            continue
+        d = bodys[i, :, 2] + depth_roots[i]
+        out[i, :, 0] = (bodys[i, :, 0] - K[0, 2]) * d / K[0, 0]
+        out[i, :, 1] = (bodys[i, :, 1] - K[1, 2]) * d / K[1, 1]
+        out[i, :, 2] = d
+        for j in range(out.shape[1]):
+            if out[i, j, 3] == 0:
+                out[i, j] = 0
+    return out

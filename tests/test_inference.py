@@ -1,0 +1,152 @@
+"""Integration tests: full jitted post-processing pipeline and inference API."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from oracle import (associate_oracle, gen_3d_pose_oracle, generate_relz_oracle,
+                    nms_oracle, paf_score_oracle)
+from test_ops import _synthetic_heatmaps
+
+
+def _scale_info(scales):
+    import jax.numpy as jnp
+    from smap_tpu.ops.postprocess import ScaleInfo
+
+    return ScaleInfo(
+        scale=jnp.asarray([s["scale"] for s in scales], jnp.float32),
+        img_w=jnp.asarray([s["img_width"] for s in scales], jnp.float32),
+        img_h=jnp.asarray([s["img_height"] for s in scales], jnp.float32),
+        fx=jnp.asarray([s["f_x"] for s in scales], jnp.float32),
+        fy=jnp.asarray([s["f_y"] for s in scales], jnp.float32),
+        cx=jnp.asarray([s["cx"] for s in scales], jnp.float32),
+        cy=jnp.asarray([s["cy"] for s in scales], jnp.float32))
+
+
+def test_postprocess_batch_matches_oracle_chain(rng):
+    import cv2
+    import jax.numpy as jnp
+
+    from smap_tpu.config import PostProcessConfig
+    from smap_tpu.ops.postprocess import postprocess_batch
+
+    H, W = 64, 104
+    stride = 4
+    net_h, net_w = H * stride, W * stride
+    batch = 2
+    cfg = PostProcessConfig(max_peaks=31)
+
+    out2d = np.zeros((batch, H, W, 43), np.float32)
+    out3d = np.zeros((batch, H, W, 14), np.float32)
+    outrd = np.zeros((batch, H, W, 1), np.float32)
+    scales = []
+    for b in range(batch):
+        hm, pafs, rdm, _, _ = _synthetic_heatmaps(
+            np.random.RandomState(10 + b), num_people=3, h=H, w=W)
+        # network-scale maps: heatmaps x255, PAF xy x127 (see test.py:111-112)
+        out2d[b, ..., :15] = hm.transpose(1, 2, 0) * 255.0
+        out2d[b, ..., 15:] = pafs.transpose(1, 2, 0) * 127.0
+        out3d[b] = np.random.RandomState(20 + b).randn(H, W, 14) * 3
+        outrd[b, ..., 0] = rdm
+        scales.append({"scale": min(net_w / 1920, net_h / 1080),
+                       "img_width": 1920.0, "img_height": 1080.0,
+                       "net_width": float(net_w), "net_height": float(net_h),
+                       "f_x": 1500.0, "f_y": 1490.0,
+                       "cx": 960.0, "cy": 540.0})
+
+    res = postprocess_batch(jnp.asarray(out2d), jnp.asarray(out3d),
+                            jnp.asarray(outrd), _scale_info(scales), cfg,
+                            net_w=float(net_w), net_h=float(net_h),
+                            stride=stride)
+
+    for b in range(batch):
+        hm = out2d[b, ..., :15].transpose(2, 0, 1) / 255.0
+        pafs = out2d[b, ..., 15:].transpose(2, 0, 1) / 127.0
+        rdm = outrd[b, ..., 0]
+        ref_peaks, ref_counts = nms_oracle(hm, max_peaks=31)
+        ref_table = paf_score_oracle(pafs, ref_peaks, ref_counts, max_peaks=31)
+        ref_bodies, _ = associate_oracle(ref_peaks, ref_counts, ref_table, rdm)
+        n = int(np.asarray(res.count)[b])
+        assert n == len(ref_bodies)
+        if n == 0:
+            continue
+        ref_bodies = ref_bodies.copy()
+        ref_bodies[:, :, :2] *= stride
+        paf_up = cv2.resize(out3d[b], (net_w, net_h),
+                            interpolation=cv2.INTER_NEAREST)
+        rd_up = cv2.resize(rdm, (net_w, net_h),
+                           interpolation=cv2.INTER_NEAREST)
+        ref_roots = generate_relz_oracle(ref_bodies, paf_up, rd_up, scales[b])
+        ref_3d = gen_3d_pose_oracle(ref_bodies, ref_roots, scales[b])
+
+        got2d = np.asarray(res.bodies_2d)[b, :n]
+        got3d = np.asarray(res.bodies_3d)[b, :n]
+        np.testing.assert_allclose(got2d, ref_bodies, atol=2e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.root_depth)[b, :n],
+                                   ref_roots, rtol=1e-4)
+        np.testing.assert_allclose(got3d, ref_3d, atol=5e-3, rtol=1e-3)
+
+
+def test_flip_tta_merge_matches_reference_loop(rng):
+    import jax.numpy as jnp
+
+    from smap_tpu.config import FLIP_ORDER, PAF_FLIP_CHANNEL
+    from smap_tpu.ops.postprocess import flip_tta_merge
+
+    B, H, W, C = 2, 8, 12, 43
+    kpt_num = 15
+    out = rng.randn(B, C, H, W).astype(np.float32)
+    out_flip = rng.randn(B, C, H, W).astype(np.float32)
+
+    # Reference loop (test.py:58-70), NCHW.
+    ref = out.copy()
+    flipped = out_flip[:, :, :, ::-1]
+    pair = list(FLIP_ORDER) + [c + kpt_num for c in PAF_FLIP_CHANNEL]
+    for i in range(len(pair)):
+        if i >= kpt_num and (i - kpt_num) % 2 == 0:
+            ref[:, i] += flipped[:, pair[i]] * -1
+        else:
+            ref[:, i] += flipped[:, pair[i]]
+    ref[:, kpt_num:] *= 0.5
+
+    got = flip_tta_merge(
+        jnp.asarray(out.transpose(0, 2, 3, 1)),
+        jnp.asarray(out_flip.transpose(0, 2, 3, 1)),
+        FLIP_ORDER, PAF_FLIP_CHANNEL)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_inference_smoke(tmp_path, rng):
+    """Random-weight end-to-end: images dir -> result JSON structure."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.inference import run_inference
+    from smap_tpu.models.smap import SMAP
+
+    cfg = Config(model=ModelConfig(output_shape=(64, 104),
+                                   compute_dtype="float32"),
+                 post=PostProcessConfig(max_peaks=31),
+                 input_shape=(256, 416), output_shape=(64, 104))
+    model = SMAP(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 416, 3), jnp.float32))
+
+    for i in range(3):
+        img = (rng.rand(300, 500, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f"img{i}.jpg"), img)
+
+    result = run_inference(str(tmp_path), variables, cfg, batch_size=2)
+    assert result["model_pattern"] == "MIX"
+    assert len(result["3d_pairs"]) == 3
+    for pair in result["3d_pairs"]:
+        assert set(pair) >= {"pred_2d", "pred_3d", "root_d", "image_path"}
+        n = len(pair["pred_2d"])
+        assert len(pair["pred_3d"]) == n
+        for person in pair["pred_3d"]:
+            assert len(person) == 15 and len(person[0]) == 4
