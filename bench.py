@@ -1,0 +1,70 @@
+"""Headline benchmark: end-to-end batched inference throughput on one chip.
+
+Measures the full deployment pipeline — SMAP forward (bfloat16) + the whole
+jitted post-processing stack (NMS, PAF scoring, depth-aware association,
+depth chaining, back-projection) — at production resolution 512x832.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no in-tree numbers (BASELINE.md). The
+recorded comparison point is the reference's PyTorch pipeline measured on
+an NVIDIA A100: ~24 img/s for model forward + dapalib + numpy post-proc at
+batch 16 (single-GPU, fp32; dominated by the per-image CPU association +
+python loops). vs_baseline = ours / 24.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_REFERENCE_IMGS_PER_SEC = 24.0
+BATCH = 16
+WARMUP = 2
+ITERS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config
+    from smap_tpu.inference import SMAPInference
+    from smap_tpu.models.smap import SMAP
+
+    cfg = Config()
+    model = SMAP(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_shape, 3),
+                                         jnp.float32))
+    engine = SMAPInference(variables, cfg)
+
+    rng = np.random.RandomState(0)
+    images = rng.randn(BATCH, *cfg.input_shape, 3).astype(np.float32)
+    scales = [{"scale": 0.433, "img_width": 1920.0, "img_height": 1080.0,
+               "f_x": 1500.0, "f_y": 1500.0, "cx": 960.0, "cy": 540.0}
+              for _ in range(BATCH)]
+
+    for _ in range(WARMUP):
+        res = engine.run_batch(images, scales)
+        jax.block_until_ready(res)
+
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        res = engine.run_batch(images, scales)
+        jax.block_until_ready(res)
+    elapsed = time.perf_counter() - start
+
+    imgs_per_sec = BATCH * ITERS / elapsed
+    print(json.dumps({
+        "metric": "e2e_inference_throughput_512x832",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

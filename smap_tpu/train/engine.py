@@ -1,0 +1,155 @@
+"""Training engine: loop, checkpoint/resume, metrics logging.
+
+Replaces the reference's ``Engine`` context manager + DDP launcher
+(``cvpack/torch_modeling/engine/engine.py:32-181`` in zju3dv/SMAP). State
+(params, optimizer moments, batch stats, iteration) is one pytree,
+checkpointed with Orbax; resume restores the exact iteration so the
+epoch-seeded data order continues deterministically (the reference resumes
+through ``start_iter`` enumeration, train.py:67-68).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from smap_tpu.config import Config
+from smap_tpu.parallel.mesh import make_mesh, shard_batch
+from smap_tpu.train.solver import make_optimizer
+from smap_tpu.train.step import (TrainBatch, TrainState, create_train_state,
+                                 make_jitted_train_step)
+
+
+def get_logger(name: str = "smap_tpu",
+               log_file: Optional[str] = None) -> logging.Logger:
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        fmt = logging.Formatter(
+            "%(asctime)s %(name)s %(levelname)s %(message)s")
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if log_file:
+            os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+            fh = logging.FileHandler(log_file)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    return logger
+
+
+class CheckpointManager:
+    """Orbax-backed checkpointing with an ``iter-last`` pointer
+    (reference: engine.py:93-170 save/link/restore semantics)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 10):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def save(self, step: int, state: TrainState) -> None:
+        import orbax.checkpoint as ocp
+
+        self.manager.save(step, args=ocp.args.StandardSave(state))
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None
+                ) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return state
+        return self.manager.restore(step,
+                                    args=ocp.args.StandardRestore(state))
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    output_dir: str = "model_logs/smap_tpu"
+    log_every: int = 20
+    seed: int = 0
+
+
+class Trainer:
+    """End-to-end SMAP trainer over a data-parallel mesh."""
+
+    def __init__(self, cfg: Config, trainer_cfg: TrainerConfig = TrainerConfig(),
+                 mesh=None):
+        self.cfg = cfg
+        self.tc = trainer_cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.num_devices = int(self.mesh.devices.size)
+        self.logger = get_logger(
+            log_file=os.path.join(trainer_cfg.output_dir, "log.txt"))
+        self.tx = make_optimizer(cfg.train, self.num_devices)
+        self.step_fn = make_jitted_train_step(cfg, self.mesh, self.tx)
+        self.ckpt = CheckpointManager(
+            os.path.join(trainer_cfg.output_dir, "checkpoints"))
+
+    def init_state(self, rng_seed: int = 0) -> TrainState:
+        import jax.numpy as jnp
+
+        from smap_tpu.models.smap import SMAP
+
+        model = SMAP(self.cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(rng_seed),
+            jnp.zeros((1, *self.cfg.input_shape, 3), jnp.float32))
+        return create_train_state(variables, self.cfg, self.num_devices)
+
+    def scaled_max_iter(self) -> int:
+        return int(self.cfg.train.max_iter
+                   * self.cfg.train.nominal_devices / self.num_devices)
+
+    def scaled_checkpoint_period(self) -> int:
+        return int(self.cfg.train.checkpoint_period
+                   * self.cfg.train.nominal_devices / self.num_devices)
+
+    def fit(self, batch_iter: Iterator, state: Optional[TrainState] = None,
+            resume: bool = False, max_steps: Optional[int] = None
+            ) -> TrainState:
+        """Run the training loop (reference hot loop: train.py:67-113)."""
+        if state is None:
+            state = self.init_state(self.tc.seed)
+        if resume:
+            state = self.ckpt.restore(state)
+            self.logger.info("resumed at iteration %d", int(state.step))
+        max_iter = max_steps or self.scaled_max_iter()
+        ckpt_period = self.scaled_checkpoint_period()
+
+        t0 = time.time()
+        for iteration, batch in batch_iter:
+            batch = shard_batch(batch, self.mesh)
+            state, losses = self.step_fn(state, batch)
+            it = iteration + 1
+            if it % self.tc.log_every == 0 or it == max_iter:
+                losses = jax.device_get(losses)
+                dt = time.time() - t0
+                t0 = time.time()
+                eta_s = dt / self.tc.log_every * (max_iter - it)
+                self.logger.info(
+                    "Iter:%d, %s, ETA %dh%02dm", it,
+                    ", ".join(f"{k}: {float(v):.3f}"
+                              for k, v in losses.items()),
+                    eta_s // 3600, eta_s % 3600 // 60)
+            if it % ckpt_period == 0 or it == max_iter:
+                self.ckpt.save(it, jax.device_get(state))
+                self.logger.info("checkpoint saved at iteration %d", it)
+            if it >= max_iter:
+                break
+        return state

@@ -1,0 +1,38 @@
+"""Optimizer + LR schedule.
+
+Optax equivalent of the reference solver (``lib/utils/solver.py:3-21`` in
+zju3dv/SMAP): Adam with L2 weight decay folded into the gradients (torch
+``Adam(weight_decay=...)`` semantics, not decoupled AdamW), LR linearly
+scaled by the device count, linear warmup then linear decay to zero.
+"""
+
+from __future__ import annotations
+
+import optax
+
+from smap_tpu.config import TrainConfig
+
+
+def make_schedule(cfg: TrainConfig, num_devices: int) -> optax.Schedule:
+    """warmup_factor -> 1 over warmup_iters, then linear decay to 0 at
+    max_iter (both rescaled by the nominal 8-device schedule)."""
+    scale = cfg.nominal_devices / num_devices
+    max_iter = int(cfg.max_iter * scale)
+    warmup = cfg.warmup_iters
+    base = cfg.base_lr * num_devices
+
+    def schedule(step):
+        warm = cfg.warmup_factor + (1 - cfg.warmup_factor) * step / warmup
+        decay = 1 - (step - warmup) / (max_iter - warmup)
+        return base * (warm * (step < warmup) + decay * (step >= warmup))
+
+    return schedule
+
+
+def make_optimizer(cfg: TrainConfig, num_devices: int
+                   ) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.adam(make_schedule(cfg, num_devices),
+                   b1=0.9, b2=0.999, eps=1e-8),
+    )
