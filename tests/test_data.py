@@ -1,0 +1,116 @@
+"""Dataset + augmentation pipeline tests (synthetic images/annotations)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def dataset_dir(tmp_path, rng):
+    import cv2
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    records = []
+    for i in range(6):
+        h, w = (480, 640) if i % 2 else (720, 960)
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        name = f"img_{i}.jpg"
+        cv2.imwrite(str(img_dir / name), img)
+        n_people = 1 + i % 3
+        bodys = np.zeros((n_people, 15, 11))
+        bodys[..., 0] = rng.uniform(0, w - 1, (n_people, 15))
+        bodys[..., 1] = rng.uniform(0, h - 1, (n_people, 15))
+        bodys[..., 2] = rng.uniform(100, 500, (n_people, 15))
+        bodys[..., 3] = 2
+        bodys[..., 7] = w
+        records.append({
+            "dataset": "MUCO" if i % 2 else "COCO",
+            "img_paths": name, "img_height": h, "img_width": w,
+            "isValidation": 0, "bodys": bodys.tolist()})
+    json_path = tmp_path / "annot.json"
+    json_path.write_text(json.dumps({"root": records}))
+    return tmp_path, img_dir, json_path
+
+
+def test_joint_dataset_train_samples(dataset_dir, rng):
+    from smap_tpu.config import Config
+    from smap_tpu.data.datasets import JointDataset, load_annotations
+
+    tmp, img_dir, json_path = dataset_dir
+    records = load_annotations(str(json_path))
+    roots = {"MUCO": str(img_dir), "COCO": str(img_dir)}
+    ds = JointDataset(records, roots, Config(), "train",
+                      with_augmentation=True, with_mds=True)
+    assert len(ds) == 6
+    img, bodys, valids, scale = ds.get_train_sample(0, rng)
+    assert img.shape == (512, 832, 3) and img.dtype == np.float32
+    assert bodys.shape == (20, 15, 11)
+    assert valids.shape == (57,)
+    assert 0 < scale < 2
+    # COCO channels masked (record 0 is COCO)
+    assert valids[1] == 0 and valids[15] == 0 and valids[16] == 0
+    assert np.all(valids[43:] == 0)
+    # MUCO record: everything valid
+    _, _, valids_m, _ = ds.get_train_sample(1, rng)
+    assert np.all(valids_m == 1)
+    # joints that survived augmentation are inside the crop
+    vis = bodys[..., 3] > 0
+    assert np.all(bodys[vis][:, 0] < 832) and np.all(bodys[vis][:, 0] >= 0)
+    assert np.all(bodys[vis][:, 1] < 512) and np.all(bodys[vis][:, 1] >= 0)
+
+
+def test_epoch_indices_sharding():
+    from smap_tpu.data.datasets import epoch_indices
+
+    n, shards = 10, 4
+    parts = [epoch_indices(n, epoch=3, shuffle=True, num_shards=shards,
+                           shard=s) for s in range(shards)]
+    allidx = np.concatenate(parts)
+    assert len(allidx) == 12              # padded to divisible
+    assert set(allidx.tolist()) == set(range(n))
+    # deterministic per epoch
+    again = epoch_indices(n, 3, True, shards, 1)
+    np.testing.assert_array_equal(parts[1], again)
+    assert not np.array_equal(
+        epoch_indices(n, 4, True, shards, 1), again)
+
+
+def test_train_iterator_batches(dataset_dir):
+    from smap_tpu.config import Config
+    from smap_tpu.data.datasets import (JointDataset, load_annotations,
+                                        train_iterator)
+
+    tmp, img_dir, json_path = dataset_dir
+    records = load_annotations(str(json_path))
+    roots = {"MUCO": str(img_dir), "COCO": str(img_dir)}
+    ds = JointDataset(records, roots, Config(), "train",
+                      with_augmentation=True)
+    it = train_iterator(ds, batch_size=2, max_iter=4, start_iter=1)
+    seen = []
+    for iteration, batch in it:
+        seen.append(iteration)
+        assert batch.images.shape == (2, 512, 832, 3)
+        assert batch.bodys.shape == (2, 20, 15, 11)
+        assert batch.valids.shape == (2, 57)
+        assert batch.scales.shape == (2,)
+    assert seen == [1, 2, 3]
+
+
+def test_flip_augment_consistency(rng):
+    import cv2
+
+    from smap_tpu.config import FLIP_ORDER, TrainConfig
+    from smap_tpu.data.augmentation import flip_augment
+
+    img = (rng.rand(100, 200, 3) * 255).astype(np.uint8)
+    bodys = np.zeros((1, 15, 11))
+    bodys[0, :, 0] = rng.uniform(0, 199, 15)
+    bodys[0, :, 1] = rng.uniform(0, 99, 15)
+    bodys[0, :, 3] = 2
+    img2, bodys2 = flip_augment(img, bodys, np.random.RandomState(1), 1.0)
+    # left shoulder (3) lands where right shoulder (9) was, mirrored
+    np.testing.assert_allclose(bodys2[0, 3, 0], 199 - bodys[0, 9, 0])
+    np.testing.assert_allclose(bodys2[0, 3, 1], bodys[0, 9, 1])
+    np.testing.assert_array_equal(img2, cv2.flip(img, 1))
