@@ -1,0 +1,171 @@
+"""SMAP inference/eval driver (reference: exps/stage3_root2/test.py).
+
+Three modes, mirroring the reference CLI:
+  run_inference   — custom image directory -> result JSON
+  generate_result — labeled test set -> result JSON with GT (for MuPoTS eval)
+  generate_train  — produce RefineNet training pairs
+
+Checkpoints may be either our Orbax checkpoints (--ckpt-dir) or a converted
+reference .pth (--smap-path, loaded via torch on host).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smap_tpu.utils.cache import enable_compilation_cache
+
+
+def load_smap_variables(args, cfg):
+    import jax
+
+    if args.smap_path:
+        from smap_tpu.models.torch_convert import (convert_smap_state_dict,
+                                                   load_torch_checkpoint)
+        sd = load_torch_checkpoint(args.smap_path)
+        return jax.tree.map(lambda x: x, convert_smap_state_dict(sd))
+    if args.ckpt_dir:
+        from smap_tpu.train.engine import CheckpointManager, Trainer, TrainerConfig
+        trainer = Trainer(cfg, TrainerConfig(output_dir=args.ckpt_dir))
+        state = trainer.ckpt.restore(trainer.init_state())
+        return {"params": state.params, "batch_stats": state.batch_stats}
+    raise SystemExit("one of --smap-path / --ckpt-dir is required")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--test_mode", "-t", default="run_inference",
+                        choices=["generate_train", "generate_result",
+                                 "run_inference"])
+    parser.add_argument("--data_mode", "-d", default="test",
+                        choices=["test", "generation"])
+    parser.add_argument("--smap-path", "-p", default="",
+                        help="reference .pth checkpoint (converted on load)")
+    parser.add_argument("--ckpt-dir", default="",
+                        help="our Orbax checkpoint directory")
+    parser.add_argument("--refine-path", "-rp", default="")
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--do_flip", type=float, default=0)
+    parser.add_argument("--dataset_path", default="",
+                        help="image dir for run_inference")
+    parser.add_argument("--test-json", default="",
+                        help="unified annotation JSON for generate_* modes")
+    parser.add_argument("--test-root", default="",
+                        help="image root for generate_* modes")
+    parser.add_argument("--json_name", default="")
+    parser.add_argument("--output-dir", default="model_logs/stage3_root2/result")
+    args = parser.parse_args()
+
+    enable_compilation_cache()
+
+    import numpy as np
+
+    from smap_tpu.config import Config
+    from smap_tpu.inference import SMAPInference, run_inference
+
+    cfg = Config()
+    variables = load_smap_variables(args, cfg)
+    refine_variables = None
+    if args.refine_path:
+        import jax
+
+        from smap_tpu.models.torch_convert import (
+            convert_refinenet_state_dict, load_torch_checkpoint)
+        refine_variables = jax.tree.map(
+            lambda x: x,
+            convert_refinenet_state_dict(load_torch_checkpoint(
+                args.refine_path)))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    suffix = f"_{args.json_name}" if args.json_name else ""
+    out_json = os.path.join(
+        args.output_dir,
+        f"stage3_root2_{args.test_mode}_{args.data_mode}{suffix}.json")
+
+    if args.test_mode == "run_inference":
+        run_inference(args.dataset_path, variables, cfg,
+                      refine_variables=refine_variables,
+                      do_flip=bool(args.do_flip),
+                      batch_size=args.batch_size, output_json=out_json)
+        print(f"results written to {out_json}")
+        return
+
+    # generate_result / generate_train over a labeled set.
+    from smap_tpu.data.datasets import JointDataset, load_annotations
+    from smap_tpu.evaluation.register import register_pred
+
+    records = load_annotations(args.test_json)
+    stage = "generation" if args.test_mode == "generate_train" else "test"
+    ds = JointDataset(records, {"MUPOTS": args.test_root,
+                                "MUCO": args.test_root},
+                      cfg, stage, with_augmentation=False)
+    engine = SMAPInference(variables, cfg, refine_variables,
+                           bool(args.do_flip))
+    result = {"model_pattern": "MIX", "3d_pairs": []}
+    B = args.batch_size
+    for start in range(0, len(ds), B):
+        idx = list(range(start, min(start + B, len(ds))))
+        samples = [ds.get_eval_sample(i) for i in idx]
+        imgs = np.stack([s[0] for s in samples])
+        if len(idx) < B:   # pad tail to the compiled batch shape
+            imgs = np.concatenate(
+                [imgs, np.zeros((B - len(idx), *imgs.shape[1:]),
+                                imgs.dtype)])
+        scales = []
+        gt_list = []
+        for s in samples:
+            bodys, scale = s[1], dict(s[3])
+            valid = bodys[bodys[:, cfg.skeleton.root_idx, 3] > 1]
+            gt_list.append(valid)
+            if valid.shape[-1] >= 11 and len(valid):
+                scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 8],
+                             cx=valid[0, 0, 9], cy=valid[0, 0, 10])
+            elif len(valid):
+                scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 7],
+                             cx=scale["img_width"] / 2,
+                             cy=scale["img_height"] / 2)
+            else:
+                scale.update(f_x=scale["img_width"],
+                             f_y=scale["img_width"],
+                             cx=scale["img_width"] / 2,
+                             cy=scale["img_height"] / 2)
+            scales.append(scale)
+        scales += [scales[-1]] * (B - len(idx))
+        res = engine.run_batch(imgs, scales)
+        res_np = {k: np.asarray(v) for k, v in res._asdict().items()}
+        for j, i in enumerate(idx):
+            n = int(res_np["count"][j])
+            gt = gt_list[j]
+            if len(gt) == 0:
+                continue
+            pred2 = res_np["bodies_2d"][j, :n]
+            pred3 = res_np["bodies_3d"][j, :n]
+            rdep = res_np["root_depth"][j, :n]
+            new2, new3, newd = register_pred(pred2, pred3, rdep, gt)
+            if args.test_mode == "generate_train":
+                for p in range(len(new3)):
+                    if new3[p, cfg.skeleton.root_idx, 3] != 0:
+                        result["3d_pairs"].append({
+                            "pred_3d": new3[p].tolist(),
+                            "pred_2d": new2[p].tolist(),
+                            "gt_3d": gt[p][:, 4:7].tolist(),
+                            "root_d": float(newd[p])})
+            else:
+                result["3d_pairs"].append({
+                    "pred_2d": new2.tolist(), "pred_3d": new3.tolist(),
+                    "root_d": newd.tolist(),
+                    "image_path": samples[j][2],
+                    "gt_3d": gt[:, :, 4:].tolist(),
+                    "gt_2d": gt[:, :, :4].tolist()})
+    with open(out_json, "w") as f:
+        json.dump(result, f)
+    print(f"results written to {out_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""SMAP training driver (reference: exps/stage3_root2/train.py + train.sh).
+
+Single-controller SPMD replaces torch.distributed.launch: one process
+drives all local TPU devices through a data-axis mesh.
+
+Usage:
+  python scripts/train_smap.py --coco-json ... --muco-json ... \
+      --coco-root ... --muco-root ... [--resume] [--max-steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smap_tpu.utils.cache import enable_compilation_cache
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--coco-json", default="")
+    parser.add_argument("--muco-json", default="")
+    parser.add_argument("--coco-root", default="")
+    parser.add_argument("--muco-root", default="")
+    parser.add_argument("--output-dir", default="model_logs/stage3_root2")
+    parser.add_argument("--resume", "-c", action="store_true",
+                        help="continue from the latest checkpoint")
+    parser.add_argument("--max-steps", type=int, default=0)
+    parser.add_argument("--batch-per-device", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    enable_compilation_cache()
+
+    from smap_tpu.config import Config
+    from smap_tpu.data.datasets import (JointDataset, load_annotations,
+                                        train_iterator)
+    from smap_tpu.train.engine import Trainer, TrainerConfig
+
+    cfg = Config()
+    records = []
+    roots = {}
+    if args.coco_json:
+        records += load_annotations(args.coco_json)
+        roots["COCO"] = args.coco_root
+    if args.muco_json:
+        records += load_annotations(args.muco_json)
+        roots["MUCO"] = args.muco_root
+    if not records:
+        parser.error("at least one of --coco-json / --muco-json is required")
+
+    dataset = JointDataset(records, roots, cfg, "train",
+                           with_augmentation=True,
+                           with_mds=cfg.train.with_mds)
+
+    trainer = Trainer(cfg, TrainerConfig(output_dir=args.output_dir,
+                                         seed=args.seed))
+    per_device = args.batch_per_device or cfg.train.img_per_device
+    global_batch = per_device * trainer.num_devices
+    max_iter = args.max_steps or trainer.scaled_max_iter()
+
+    state = trainer.init_state(args.seed)
+    start_iter = 0
+    if args.resume:
+        state = trainer.ckpt.restore(state)
+        start_iter = int(state.step)
+
+    batches = train_iterator(dataset, global_batch, max_iter,
+                             start_iter=start_iter, seed=args.seed)
+    trainer.fit(batches, state=state, max_steps=max_iter)
+
+
+if __name__ == "__main__":
+    main()
