@@ -36,7 +36,12 @@ def main() -> None:
 
     cfg = Config()
     model = SMAP(cfg.model)
-    variables = model.init(
+
+    def smap_bench_init(key, x):
+        return model.init(key, x)
+
+    # jit the init: eager op-by-op init is pathological on tunneled TPUs.
+    variables = jax.jit(smap_bench_init)(
         jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_shape, 3),
                                          jnp.float32))
     engine = SMAPInference(variables, cfg)

@@ -48,7 +48,12 @@ class SMAPInference:
         self.do_flip = do_flip
         self.model = SMAP(cfg.model)
         self.refine_model = RefineNet(cfg.refine)
-        self._jitted = jax.jit(self._pipeline)
+
+        def smap_inference_pipeline(variables, refine_variables, images,
+                                    scale):
+            return self._pipeline(variables, refine_variables, images, scale)
+
+        self._jitted = jax.jit(smap_inference_pipeline)
 
     def _pipeline(self, variables, refine_variables, images: jnp.ndarray,
                   scale: ScaleInfo) -> PoseResults:

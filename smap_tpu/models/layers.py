@@ -59,6 +59,76 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return x
 
 
+import os
+
+# Convolution lowering strategy: "xla" (native convolution, ~58 TFLOPS on
+# the target TPU — scripts/_conv_probe_v2.py) or "matmul" (k*k shifted
+# matmuls accumulated in f32, useful as a fallback on backends whose conv
+# lowering misses the MXU).
+CONV_IMPL = os.environ.get("SMAP_TPU_CONV_IMPL", "xla")
+
+
+def matmul_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
+                  strides: Tuple[int, int],
+                  padding: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    """SAME-family 2D conv as a sum of shifted matmuls (MXU path).
+
+    Args:
+      x: [B, H, W, Cin]; kernel: [kh, kw, Cin, Cout].
+      padding: ((top, bottom), (left, right)).
+
+    Accumulates in float32 and returns x.dtype.
+    """
+    b, _, _, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    sh, sw = strides
+    xp = jnp.pad(x, ((0, 0), padding[0], padding[1], (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    ho = (hp - kh) // sh + 1
+    wo = (wp - kw) // sw + 1
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = jax.lax.slice(
+                xp, (0, dy, dx, 0),
+                (b, dy + sh * (ho - 1) + 1, dx + sw * (wo - 1) + 1, cin),
+                (1, sh, sw, 1))
+            term = jnp.einsum("bhwc,cd->bhwd", patch, kernel[dy, dx],
+                              preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+    return acc.astype(x.dtype)
+
+
+class Conv2D(nn.Module):
+    """2D convolution with selectable lowering; parameters match nn.Conv
+    (HWIO 'kernel' + 'bias') so torch-checkpoint conversion is unchanged."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0))
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.kaiming_normal(),
+            (kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if CONV_IMPL == "matmul":
+            y = matmul_conv2d(x, kernel, self.strides, self.padding)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, self.strides, list(self.padding),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(y.dtype)
+
+
 class ConvBnRelu(nn.Module):
     """Conv2d + BatchNorm + ReLU (reference: model/smap.py:13-45).
 
@@ -77,9 +147,13 @@ class ConvBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                    padding=self.padding, use_bias=True, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv")(x)
+        if self.padding == "SAME":
+            kh, kw = self.kernel_size
+            pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        else:
+            pad = tuple(tuple(p) for p in self.padding)
+        x = Conv2D(self.features, self.kernel_size, strides=self.strides,
+                   padding=pad, dtype=self.dtype, name="conv")(x)
         if self.has_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,

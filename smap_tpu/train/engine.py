@@ -107,7 +107,12 @@ class Trainer:
         from smap_tpu.models.smap import SMAP
 
         model = SMAP(self.cfg.model)
-        variables = model.init(
+
+        def smap_trainer_init(key, x):
+            return model.init(key, x)
+
+        # jit the init: eager op-by-op init is pathological on tunneled TPUs.
+        variables = jax.jit(smap_trainer_init)(
             jax.random.PRNGKey(rng_seed),
             jnp.zeros((1, *self.cfg.input_shape, 3), jnp.float32))
         return create_train_state(variables, self.cfg, self.num_devices)

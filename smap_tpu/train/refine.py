@@ -45,9 +45,12 @@ def create_refine_state(cfg: RefineNetConfig,
                         tx: optax.GradientTransformation,
                         seed: int = 0) -> RefineState:
     model = RefineNet(cfg)
-    variables = model.init(jax.random.PRNGKey(seed),
-                           jnp.zeros((2, cfg.in_dim), jnp.float32),
-                           train=False)
+
+    def refine_init(key, x):
+        return model.init(key, x, train=False)
+
+    variables = jax.jit(refine_init)(jax.random.PRNGKey(seed),
+                                     jnp.zeros((2, cfg.in_dim), jnp.float32))
     return RefineState(step=jnp.zeros((), jnp.int32),
                        params=variables["params"],
                        batch_stats=variables["batch_stats"],
