@@ -111,6 +111,10 @@ class ModelConfig:
     output_shape: Tuple[int, int] = OUTPUT_SHAPE
     # bfloat16 matmul/conv compute with float32 params & batch stats.
     compute_dtype: str = "bfloat16"
+    # Rematerialize each stage in the backward pass (the reference's
+    # RUN_EFFICIENT per-conv torch.utils.checkpoint, config.py:64, expressed
+    # as stage-level jax.checkpoint so XLA can still fuse within a stage).
+    remat: bool = False
 
     @property
     def kpt_paf_channels(self) -> int:

@@ -223,9 +223,16 @@ class SMAP(nn.Module):
         x = ResNetTop(dtype=dtype, name="top")(x, train)
         outputs = {"heatmap_2d": [], "det_d": [], "root_d": []}
         skip1 = skip2 = None
+        stage_cls = Stage
+        if self.cfg.remat and train:
+            # Gradient checkpointing at stage granularity (reference wraps
+            # every conv in torch checkpoint when RUN_EFFICIENT,
+            # model/smap.py:40-43; stage-level remat trades the same memory
+            # for fewer recompute boundaries).
+            stage_cls = nn.remat(Stage, static_argnums=(4,))
         for i in range(self.cfg.stage_num):
             last = i == self.cfg.stage_num - 1
-            res, res_d, res_rd, skip1, skip2, x = Stage(
+            res, res_d, res_rd, skip1, skip2, x = stage_cls(
                 output_shape=self.cfg.output_shape,
                 kpt_paf_channels=self.cfg.kpt_paf_channels,
                 depth_channels=self.cfg.num_limbs,

@@ -100,6 +100,10 @@ class Trainer:
         self.step_fn = make_jitted_train_step(cfg, self.mesh, self.tx)
         self.ckpt = CheckpointManager(
             os.path.join(trainer_cfg.output_dir, "checkpoints"))
+        from smap_tpu.utils.metrics import MetricWriter
+
+        self.metrics = MetricWriter(
+            os.path.join(trainer_cfg.output_dir, "tb_dir"))
 
     def init_state(self, rng_seed: int = 0) -> TrainState:
         import jax.numpy as jnp
@@ -144,6 +148,7 @@ class Trainer:
             it = iteration + 1
             if it % self.tc.log_every == 0 or it == max_iter:
                 losses = jax.device_get(losses)
+                self.metrics.write_scalars(it, losses)
                 dt = time.time() - t0
                 t0 = time.time()
                 eta_s = dt / self.tc.log_every * (max_iter - it)
