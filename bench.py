@@ -22,8 +22,9 @@ import numpy as np
 
 A100_REFERENCE_IMGS_PER_SEC = 24.0
 BATCH = 16
-WARMUP = 2
-ITERS = 10
+WARMUP = 1
+MAX_ITERS = 10
+TIME_BUDGET_S = 180.0  # the shared TPU's latency varies wildly; stop early
 
 
 def main() -> None:
@@ -56,13 +57,17 @@ def main() -> None:
         res = engine.run_batch(images, scales)
         jax.block_until_ready(res)
 
-    start = time.perf_counter()
-    for _ in range(ITERS):
+    times = []
+    budget_start = time.perf_counter()
+    for _ in range(MAX_ITERS):
+        t0 = time.perf_counter()
         res = engine.run_batch(images, scales)
         jax.block_until_ready(res)
-    elapsed = time.perf_counter() - start
+        times.append(time.perf_counter() - t0)
+        if time.perf_counter() - budget_start > TIME_BUDGET_S and len(times) >= 2:
+            break
 
-    imgs_per_sec = BATCH * ITERS / elapsed
+    imgs_per_sec = BATCH / float(np.median(times))
     print(json.dumps({
         "metric": "e2e_inference_throughput_512x832",
         "value": round(imgs_per_sec, 2),

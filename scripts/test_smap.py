@@ -63,8 +63,6 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    import numpy as np
-
     from smap_tpu.config import Config
     from smap_tpu.inference import SMAPInference, run_inference
 
@@ -97,7 +95,7 @@ def main() -> None:
 
     # generate_result / generate_train over a labeled set.
     from smap_tpu.data.datasets import JointDataset, load_annotations
-    from smap_tpu.evaluation.register import register_pred
+    from smap_tpu.inference import run_labeled_inference
 
     records = load_annotations(args.test_json)
     stage = "generation" if args.test_mode == "generate_train" else "test"
@@ -106,62 +104,8 @@ def main() -> None:
                       cfg, stage, with_augmentation=False)
     engine = SMAPInference(variables, cfg, refine_variables,
                            bool(args.do_flip))
-    result = {"model_pattern": "MIX", "3d_pairs": []}
-    B = args.batch_size
-    for start in range(0, len(ds), B):
-        idx = list(range(start, min(start + B, len(ds))))
-        samples = [ds.get_eval_sample(i) for i in idx]
-        imgs = np.stack([s[0] for s in samples])
-        if len(idx) < B:   # pad tail to the compiled batch shape
-            imgs = np.concatenate(
-                [imgs, np.zeros((B - len(idx), *imgs.shape[1:]),
-                                imgs.dtype)])
-        scales = []
-        gt_list = []
-        for s in samples:
-            bodys, scale = s[1], dict(s[3])
-            valid = bodys[bodys[:, cfg.skeleton.root_idx, 3] > 1]
-            gt_list.append(valid)
-            if valid.shape[-1] >= 11 and len(valid):
-                scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 8],
-                             cx=valid[0, 0, 9], cy=valid[0, 0, 10])
-            elif len(valid):
-                scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 7],
-                             cx=scale["img_width"] / 2,
-                             cy=scale["img_height"] / 2)
-            else:
-                scale.update(f_x=scale["img_width"],
-                             f_y=scale["img_width"],
-                             cx=scale["img_width"] / 2,
-                             cy=scale["img_height"] / 2)
-            scales.append(scale)
-        scales += [scales[-1]] * (B - len(idx))
-        res = engine.run_batch(imgs, scales)
-        res_np = {k: np.asarray(v) for k, v in res._asdict().items()}
-        for j, i in enumerate(idx):
-            n = int(res_np["count"][j])
-            gt = gt_list[j]
-            if len(gt) == 0:
-                continue
-            pred2 = res_np["bodies_2d"][j, :n]
-            pred3 = res_np["bodies_3d"][j, :n]
-            rdep = res_np["root_depth"][j, :n]
-            new2, new3, newd = register_pred(pred2, pred3, rdep, gt)
-            if args.test_mode == "generate_train":
-                for p in range(len(new3)):
-                    if new3[p, cfg.skeleton.root_idx, 3] != 0:
-                        result["3d_pairs"].append({
-                            "pred_3d": new3[p].tolist(),
-                            "pred_2d": new2[p].tolist(),
-                            "gt_3d": gt[p][:, 4:7].tolist(),
-                            "root_d": float(newd[p])})
-            else:
-                result["3d_pairs"].append({
-                    "pred_2d": new2.tolist(), "pred_3d": new3.tolist(),
-                    "root_d": newd.tolist(),
-                    "image_path": samples[j][2],
-                    "gt_3d": gt[:, :, 4:].tolist(),
-                    "gt_2d": gt[:, :, :4].tolist()})
+    result = run_labeled_inference(ds, engine, mode=args.test_mode,
+                                   batch_size=args.batch_size)
     with open(out_json, "w") as f:
         json.dump(result, f)
     print(f"results written to {out_json}")

@@ -130,6 +130,80 @@ class SMAPInference:
         return pairs
 
 
+def run_labeled_inference(dataset, engine: "SMAPInference",
+                          mode: str = "generate_result",
+                          batch_size: int = 16, root_idx: int = ROOT_IDX,
+                          shard: int = 0, num_shards: int = 1
+                          ) -> Dict[str, Any]:
+    """Inference over a labeled JointDataset (reference 'generate_result' /
+    'generate_train' modes, test.py:42-145).
+
+    Persons whose GT root has visibility <= 1 are dropped (test.py:74-81);
+    intrinsics come from the GT rows when present; predictions are
+    GT-registered before serialization. ``shard``/``num_shards`` split the
+    dataset contiguously per host (lib/utils/dataloader.py:79-85).
+    """
+    from smap_tpu.evaluation.register import register_pred
+
+    cfg = engine.cfg
+    result = {"model_pattern": "MIX", "3d_pairs": []}
+    n = len(dataset)
+    per = -(-n // num_shards)
+    indices = list(range(shard * per, min(n, (shard + 1) * per)))
+    for start in range(0, len(indices), batch_size):
+        idx = indices[start:start + batch_size]
+        samples = [dataset.get_eval_sample(i) for i in idx]
+        imgs = np.stack([s[0] for s in samples])
+        if len(idx) < batch_size:   # pad tail to the compiled batch shape
+            imgs = np.concatenate(
+                [imgs, np.zeros((batch_size - len(idx), *imgs.shape[1:]),
+                                imgs.dtype)])
+        scales, gt_list = [], []
+        for s in samples:
+            bodys, scale = s[1], dict(s[3])
+            valid = bodys[bodys[:, root_idx, 3] > 1]
+            gt_list.append(valid)
+            if len(valid) and valid.shape[-1] >= 11:
+                scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 8],
+                             cx=valid[0, 0, 9], cy=valid[0, 0, 10])
+            elif len(valid):
+                scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 7],
+                             cx=scale["img_width"] / 2,
+                             cy=scale["img_height"] / 2)
+            else:
+                scale.update(f_x=scale["img_width"],
+                             f_y=scale["img_width"],
+                             cx=scale["img_width"] / 2,
+                             cy=scale["img_height"] / 2)
+            scales.append(scale)
+        scales += [scales[-1]] * (batch_size - len(idx))
+        res = engine.run_batch(imgs, scales)
+        res_np = {k: np.asarray(v) for k, v in res._asdict().items()}
+        for j, i in enumerate(idx):
+            gt = gt_list[j]
+            if len(gt) == 0:
+                continue
+            m = int(res_np["count"][j])
+            new2, new3, newd = register_pred(
+                res_np["bodies_2d"][j, :m], res_np["bodies_3d"][j, :m],
+                res_np["root_depth"][j, :m], gt, root_idx=root_idx)
+            if mode == "generate_train":
+                for p in range(len(new3)):
+                    if new3[p, root_idx, 3] != 0:
+                        result["3d_pairs"].append({
+                            "pred_3d": new3[p].tolist(),
+                            "pred_2d": new2[p].tolist(),
+                            "gt_3d": gt[p][:, 4:7].tolist(),
+                            "root_d": float(newd[p])})
+            else:
+                result["3d_pairs"].append({
+                    "pred_2d": new2.tolist(), "pred_3d": new3.tolist(),
+                    "root_d": newd.tolist(), "image_path": samples[j][2],
+                    "gt_3d": gt[:, :, 4:].tolist(),
+                    "gt_2d": gt[:, :, :4].tolist()})
+    return result
+
+
 def run_inference(image_dir: str, variables, cfg: Config = Config(),
                   refine_variables=None, do_flip: bool = False,
                   batch_size: int = 16, output_json: Optional[str] = None
