@@ -1,0 +1,43 @@
+"""Tests for alignment and timer utilities."""
+
+import numpy as np
+
+
+def test_align_exact_and_suffix(rng):
+    from smap_tpu.utils.align import align_and_update
+
+    target = {"stage0": {"conv": {"kernel": np.zeros((3, 3, 4, 8))}},
+              "head": {"bias": np.zeros((8,))}}
+    loaded = {"backbone": {"stage0": {"conv": {"kernel":
+                                               rng.randn(3, 3, 4, 8)}}},
+              "other": {"bias": rng.randn(3)}}
+    out, missing = align_and_update(target, loaded)
+    np.testing.assert_array_equal(
+        out["stage0"]["conv"]["kernel"],
+        loaded["backbone"]["stage0"]["conv"]["kernel"])
+    assert missing == ["head/bias"]          # shape mismatch -> kept
+
+
+def test_align_shape_guard(rng):
+    from smap_tpu.utils.align import align_and_update
+
+    target = {"w": np.zeros((4, 4))}
+    loaded = {"w": rng.randn(2, 2)}
+    out, missing = align_and_update(target, loaded)
+    assert missing == ["w"]
+    np.testing.assert_array_equal(out["w"], np.zeros((4, 4)))
+
+
+def test_timer():
+    import time
+
+    from smap_tpu.utils.timer import Timer
+
+    t = Timer()
+    with t.section("a"):
+        time.sleep(0.01)
+    with t.section("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert t.totals["a"] >= 0.01
+    assert "a:" in t.summary()
