@@ -261,6 +261,22 @@ class MupotsMetrics:
     undetected_rate: float
 
 
+def compute_masked_pck_auc(results: Sequence["SequenceResult"],
+                           use_occluded: bool = False
+                           ) -> Dict[str, Dict[str, float]]:
+    """PCK/AUC restricted to visible (or occluded) joints
+    (mpii_evaluate_multiperson_errors_visibility_mask.m). Masked-out
+    entries are treated as errors above every threshold."""
+    errs, masks = [], []
+    for r in results:
+        errs.append(r.per_joint_error)
+        masks.append(r.occlusion_mask if use_occluded else r.visibility_mask)
+    all_err = np.concatenate(errs, axis=1)[list(EVAL_JOINTS)]
+    all_mask = np.concatenate(masks, axis=1)[list(EVAL_JOINTS)]
+    masked = np.where(all_mask > 0, all_err, np.inf)
+    return compute_pck_auc(masked)
+
+
 def aggregate(results: Sequence[SequenceResult]) -> MupotsMetrics:
     """Aggregate sequence results into headline metrics
     (mupots_smap.m:232-256 + mpii_evaluate_multiperson_errors.m)."""

@@ -151,3 +151,44 @@ def test_convert_reprojection(rng):
             "image_path": "TS7/img_000001.jpg"}
     fp = pair_to_prediction(pair, K)
     np.testing.assert_allclose(fp.pose_3d[0, 0], P * 10, rtol=1e-6)
+
+
+def test_masked_pck(rng):
+    from smap_tpu.evaluation.mupots import compute_masked_pck_auc
+
+    frames = [_perfect_frame(rng) for _ in range(2)]
+    # mark some joints occluded
+    for ann, _ in frames:
+        for occ in ann.occlusion:
+            occ[3:6] = 1
+    res = evaluate_sequence([f[0] for f in frames], [f[1] for f in frames])
+    vis = compute_masked_pck_auc([res], use_occluded=False)
+    occ = compute_masked_pck_auc([res], use_occluded=True)
+    # perfect predictions: every *included* joint scores
+    assert vis["pck"]["Total"] < 100.0   # some joints masked out
+    assert occ["pck"]["Total"] < 100.0
+    assert vis["pck"]["Total"] + occ["pck"]["Total"] == pytest.approx(100.0)
+
+
+def test_panoptic_accumulator(rng):
+    from smap_tpu.evaluation.panoptic import PanopticAccumulator
+
+    P = 3
+    gt = np.zeros((P, 15, 7))
+    gt[..., 3] = 2
+    gt[..., 4:7] = rng.randn(P, 15, 3) * 30
+    pred = np.zeros((P, 15, 4))
+    pred[..., :3] = gt[..., 4:7] + rng.randn(P, 15, 3) * 2
+    pred[..., 3] = 1
+    acc = PanopticAccumulator()
+    acc.update(pred, gt)
+    s = acc.summary()
+    assert s["detection_rate"] == 1.0
+    assert s["pck15_abs"] > 0.95
+    assert 0 < s["mpjpe_abs_cm"] < 10
+    # missed person
+    pred2 = pred.copy()
+    pred2[0, :, 3] = 0
+    acc2 = PanopticAccumulator()
+    acc2.update(pred2, gt)
+    assert acc2.summary()["detection_rate"] == pytest.approx(2 / 3)
