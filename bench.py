@@ -77,4 +77,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # emit a parseable record even on failure
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "e2e_inference_throughput_512x832",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(0)

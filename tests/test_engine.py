@@ -1,0 +1,53 @@
+"""Trainer engine tests: fit loop, checkpoint save/restore, metrics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from test_train_step import _batch, _tiny_cfg
+
+
+@pytest.mark.slow
+def test_trainer_fit_checkpoint_resume(tmp_path, rng):
+    import jax
+
+    from smap_tpu.config import TrainConfig
+    from smap_tpu.train.engine import Trainer, TrainerConfig
+
+    cfg = _tiny_cfg()
+    cfg = type(cfg)(model=cfg.model,
+                    train=TrainConfig(max_people=4, checkpoint_period=2,
+                                      max_iter=100),
+                    input_shape=cfg.input_shape, output_shape=cfg.output_shape)
+    trainer = Trainer(cfg, TrainerConfig(output_dir=str(tmp_path),
+                                         log_every=1))
+
+    batch = _batch(rng, cfg, 8)
+
+    def batches(start, stop):
+        for i in range(start, stop):
+            yield i, batch
+
+    state = trainer.fit(batches(0, 3), max_steps=3)
+    assert int(jax.device_get(state.step)) == 3
+    # periodic checkpoint at 2 plus the max_iter checkpoint at 3
+    assert trainer.ckpt.latest_step() == 3
+
+    # resume: restore and continue
+    restored = trainer.ckpt.restore(trainer.init_state(), step=2)
+    assert int(restored.step) == 2
+    state2 = trainer.fit(batches(2, 4), state=restored, max_steps=4)
+    assert int(jax.device_get(state2.step)) == 4
+
+    # metrics written
+    mfile = os.path.join(str(tmp_path), "tb_dir", "metrics.jsonl")
+    lines = [json.loads(l) for l in open(mfile)]
+    assert any("total_loss" in l for l in lines)
+
+    # restored params actually equal the saved ones
+    saved = trainer.ckpt.restore(trainer.init_state(), step=2)
+    a = jax.tree.leaves(saved.params)[0]
+    b = jax.tree.leaves(jax.device_get(restored.params))[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
