@@ -38,6 +38,9 @@ def test_trainer_fit_checkpoint_resume(tmp_path, rng):
     # resume: restore and continue
     restored = trainer.ckpt.restore(trainer.init_state(), step=2)
     assert int(restored.step) == 2
+    # snapshot before fit(): the jitted step donates the state buffers
+    restored_param0 = np.array(jax.tree.leaves(
+        jax.device_get(restored.params))[0])
     state2 = trainer.fit(batches(2, 4), state=restored, max_steps=4)
     assert int(jax.device_get(state2.step)) == 4
 
@@ -48,6 +51,5 @@ def test_trainer_fit_checkpoint_resume(tmp_path, rng):
 
     # restored params actually equal the saved ones
     saved = trainer.ckpt.restore(trainer.init_state(), step=2)
-    a = jax.tree.leaves(saved.params)[0]
-    b = jax.tree.leaves(jax.device_get(restored.params))[0]
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a = jax.tree.leaves(jax.device_get(saved.params))[0]
+    np.testing.assert_array_equal(np.asarray(a), restored_param0)

@@ -150,3 +150,39 @@ def test_inference_smoke(tmp_path, rng):
         assert len(pair["pred_3d"]) == n
         for person in pair["pred_3d"]:
             assert len(person) == 15 and len(person[0]) == 4
+
+
+@pytest.mark.slow
+def test_inference_flip_and_refine(rng):
+    """Engine with flip-TTA and RefineNet lifting enabled."""
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.inference import SMAPInference
+    from smap_tpu.models.refinenet import RefineNet
+    from smap_tpu.models.smap import SMAP
+
+    cfg = Config(model=ModelConfig(output_shape=(32, 52),
+                                   compute_dtype="float32"),
+                 post=PostProcessConfig(max_peaks=15),
+                 input_shape=(128, 208), output_shape=(32, 52))
+    model = SMAP(cfg.model)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 208, 3), jnp.float32))
+    refine = RefineNet(cfg.refine)
+    refine_vars = jax.jit(lambda k, x: refine.init(k, x))(
+        jax.random.PRNGKey(1), jnp.zeros((2, 75), jnp.float32))
+
+    engine = SMAPInference(variables, cfg, refine_variables=refine_vars,
+                           do_flip=True)
+    imgs = rng.randn(2, 128, 208, 3).astype(np.float32)
+    scales = [{"scale": 0.25, "img_width": 832.0, "img_height": 512.0,
+               "f_x": 800.0, "f_y": 800.0, "cx": 416.0, "cy": 256.0}
+              for _ in range(2)]
+    res = engine.run_batch(imgs, scales)
+    assert np.asarray(res.bodies_3d).shape == (2, 15, 15, 4)
+    assert np.all(np.isfinite(np.asarray(res.bodies_3d)))
+    # refined rows have score in {0, 1}
+    scores = np.asarray(res.bodies_3d)[..., 3]
+    assert set(np.unique(scores)).issubset({0.0, 1.0})
