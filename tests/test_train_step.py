@@ -86,3 +86,34 @@ def test_lr_schedule_matches_reference():
     for it in [0, 1, 100, 2399, 2400, 2401, 96000, 191999, 192000]:
         np.testing.assert_allclose(float(sched(it)), ref(it), rtol=1e-6,
                                    err_msg=str(it))
+
+
+@pytest.mark.slow
+def test_train_step_with_remat(rng):
+    """Gradient checkpointing path compiles and produces finite losses."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import ModelConfig
+    from smap_tpu.models.smap import SMAP
+    from smap_tpu.parallel.mesh import make_mesh, shard_batch
+    from smap_tpu.train.solver import make_optimizer
+    from smap_tpu.train.step import (create_train_state,
+                                     make_jitted_train_step)
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, remat=True))
+    mesh = make_mesh()
+    model = SMAP(cfg.model)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *cfg.input_shape, 3), jnp.float32))
+    tx = make_optimizer(cfg.train, mesh.devices.size)
+    state = create_train_state(variables, cfg, mesh.devices.size)
+    step = make_jitted_train_step(cfg, mesh, tx)
+    batch = shard_batch(_batch(rng, cfg, 8), mesh)
+    state, losses = step(state, batch)
+    assert np.isfinite(float(losses["total_loss"]))
