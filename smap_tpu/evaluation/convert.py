@@ -10,7 +10,7 @@ convert cm -> mm; then reorder into the MPI test joint order.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

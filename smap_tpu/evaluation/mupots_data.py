@@ -11,7 +11,7 @@ the first 15 (MPI test order).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

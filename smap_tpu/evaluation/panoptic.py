@@ -11,7 +11,7 @@ and adjacent-pair depth-order reversals.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 

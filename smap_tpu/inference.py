@@ -10,7 +10,6 @@ the result JSON (same schema as the reference).
 
 from __future__ import annotations
 
-import functools
 import glob
 import json
 import os

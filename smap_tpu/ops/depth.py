@@ -22,8 +22,6 @@ numpy post-processing (``exps/stage3_root2/test_util.py:45-99`` and
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -19,8 +19,6 @@ The whole table is one fused gather + VPU reduction; vmappable over batch.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
