@@ -78,23 +78,32 @@ def read_limb_depths(bodies_2d: jnp.ndarray, paf_z: jnp.ndarray, *,
 def chain_depths(depth_v: jnp.ndarray, scores: jnp.ndarray, *,
                  root_idx: int = 2, num_joints: int = 15) -> jnp.ndarray:
     """Chain per-limb delta-Z into per-joint relative depth
-    (reference: test_util.py:45-57, root=pelvis branch).
+    (reference: test_util.py:45-57; both root branches).
 
     Args:
       depth_v: [P, L] limb delta-Z.
       scores: [P, J] joint detection scores (used only for output masking by
         callers; chaining itself is unconditional like the reference).
+      root_idx: 2 (pelvis, the default SMAP configuration) or 0 (neck).
 
     Returns:
-      rel_z: [P, J] root-relative depth (pelvis = 0).
+      rel_z: [P, J] root-relative depth (root joint = 0).
     """
     P = depth_v.shape[0]
     rel_z = jnp.zeros((P, num_joints), depth_v.dtype)
-    # pelvis = 0; neck = pelvis - dv[limb1]; head = neck + dv[limb0].
-    neck = -depth_v[:, 1]
-    rel_z = rel_z.at[:, 0].set(neck)
-    rel_z = rel_z.at[:, 1].set(neck + depth_v[:, 0])
-    for k in range(2, NUM_LIMBS):
+    if root_idx == 2:
+        # pelvis = 0; neck = pelvis - dv[limb1]; head = neck + dv[limb0];
+        # remaining limbs chained from index 2 (test_util.py:46-50).
+        neck = -depth_v[:, 1]
+        rel_z = rel_z.at[:, 0].set(neck)
+        rel_z = rel_z.at[:, 1].set(neck + depth_v[:, 0])
+        start = 2
+    else:
+        # neck = 0; head = neck + dv[limb0]; limbs from index 1
+        # (test_util.py:51-53).
+        rel_z = rel_z.at[:, 1].set(depth_v[:, 0])
+        start = 1
+    for k in range(start, NUM_LIMBS):
         s, d = PAF_VECTOR[k]
         rel_z = rel_z.at[:, d].set(rel_z[:, s] + depth_v[:, k])
     return rel_z

@@ -81,3 +81,23 @@ def test_chain_depths_topology():
     assert rel[0, 1] == -1.0          # head = neck + dv[0]
     assert rel[0, 9] == -1.5          # rsho = neck + dv[2]
     assert rel[0, 10] == -1.25        # relb = rsho + dv[3]
+
+
+def test_chain_depths_neck_root():
+    """root_idx=0 (neck) branch matches reference chain_bones semantics."""
+    import jax.numpy as jnp
+    from smap_tpu.ops.depth import chain_depths
+    from smap_tpu.config import PAF_VECTOR
+
+    rng = np.random.RandomState(3)
+    dv = rng.randn(2, 14).astype(np.float32)
+    rel = np.asarray(chain_depths(jnp.asarray(dv), jnp.ones((2, 15)),
+                                  root_idx=0))
+    # reference loop: neck=0; head = neck + dv[0]; limbs 1.. chained
+    want = np.zeros((2, 15), np.float32)
+    want[:, 1] = dv[:, 0]
+    for k in range(1, 14):
+        s, d = PAF_VECTOR[k]
+        want[:, d] = want[:, s] + dv[:, k]
+    np.testing.assert_allclose(rel, want, rtol=1e-6)
+    assert np.all(rel[:, 0] == 0)

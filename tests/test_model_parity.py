@@ -91,3 +91,30 @@ def test_converter_roundtrip_shapes():
     assert out2d.shape == (1, 32, 52, 43)
     assert out3d.shape == (1, 32, 52, 14)
     assert outrd.shape == (1, 32, 52, 1)
+
+
+def test_refinenet_parity():
+    """RefineNet forward parity vs the reference torch module."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from model.refinenet import RefineNet as TorchRefineNet
+
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.models.refinenet import RefineNet
+    from smap_tpu.models.torch_convert import convert_refinenet_state_dict
+
+    tmodel = TorchRefineNet()
+    tmodel.eval()
+    variables = jax.tree.map(
+        jnp.asarray, convert_refinenet_state_dict(tmodel.state_dict()))
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 75).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(RefineNet().apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
