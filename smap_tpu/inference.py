@@ -21,7 +21,6 @@ import numpy as np
 
 from smap_tpu.config import (Config, NUM_JOINTS, PAF_FLIP_CHANNEL, FLIP_ORDER,
                              ROOT_IDX)
-from smap_tpu.data.preprocess import letterbox_image, normalize_image
 from smap_tpu.models.refinenet import RefineNet
 from smap_tpu.models.smap import SMAP
 from smap_tpu.ops.postprocess import (PoseResults, ScaleInfo, flip_tta_merge,
@@ -222,14 +221,17 @@ def run_inference(image_dir: str, variables, cfg: Config = Config(),
     paths.sort()
     engine = SMAPInference(variables, cfg, refine_variables, do_flip)
 
+    from smap_tpu.data.native import letterbox_normalize_native
+
     result = {"model_pattern": "MIX", "3d_pairs": []}
     for start in range(0, len(paths), batch_size):
         chunk = paths[start:start + batch_size]
         imgs, scales = [], []
         for p in chunk:
             raw = cv2.imread(p, cv2.IMREAD_COLOR)
-            boxed, scale = letterbox_image(raw, cfg.input_shape)
-            imgs.append(normalize_image(boxed))
+            # fused native letterbox+normalize (python fallback inside)
+            img, scale = letterbox_normalize_native(raw, cfg.input_shape)
+            imgs.append(img)
             scales.append(scale)
         # Pad the tail batch to keep a single compiled shape.
         pad = batch_size - len(chunk)
