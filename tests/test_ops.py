@@ -156,3 +156,52 @@ class TestAssociation:
         bodies = associate(peaks, table, jnp.zeros((32, 48)))
         assert int(bodies.count) == 0
         assert np.all(np.asarray(bodies.joints) == 0)
+
+
+class TestAssociationFuzz:
+    @pytest.mark.slow
+    def test_fuzz_many_seeds(self):
+        """Greedy association matches the oracle across many random scenes,
+        including edge regimes (negative depths, crowded peaks, ties)."""
+        import jax
+        import jax.numpy as jnp
+        from smap_tpu.config import PAF_VECTOR
+        from smap_tpu.ops.association import associate
+        from smap_tpu.ops.nms import extract_peaks
+        from smap_tpu.ops.paf import paf_scores
+
+        pairs = jnp.asarray(PAF_VECTOR, jnp.int32)
+
+        @jax.jit
+        def run(hm, pafs, rdm):
+            peaks = extract_peaks(hm, max_peaks=31)
+            table = paf_scores(pafs, peaks, pairs)
+            return extract_peaks(hm, max_peaks=31), \
+                paf_scores(pafs, peaks, pairs), \
+                associate(peaks, table, rdm)
+
+        mismatches = []
+        for seed in range(24):
+            rng = np.random.RandomState(100 + seed)
+            num_people = 1 + seed % 6
+            hm, pafs, rdm, _, _ = _synthetic_heatmaps(
+                rng, num_people=num_people, h=48, w=80)
+            if seed % 4 == 0:
+                rdm = rdm - 3.0          # negative root depths
+            if seed % 5 == 0:
+                hm = np.maximum(hm, rng.rand(*hm.shape) * 0.5)  # noise peaks
+            peaks, table, bodies = run(jnp.asarray(hm), jnp.asarray(pafs),
+                                       jnp.asarray(rdm))
+            ref_peaks, ref_counts = nms_oracle(hm, max_peaks=31)
+            ref_table = paf_score_oracle(pafs, ref_peaks, ref_counts,
+                                         max_peaks=31)
+            ref_bodies, _ = associate_oracle(ref_peaks, ref_counts,
+                                             ref_table, rdm)
+            n = int(bodies.count)
+            if n != len(ref_bodies):
+                mismatches.append((seed, "count"))
+                continue
+            if n and not np.allclose(np.asarray(bodies.joints)[:n],
+                                     ref_bodies, atol=1e-3, rtol=1e-3):
+                mismatches.append((seed, "joints"))
+        assert not mismatches, mismatches
