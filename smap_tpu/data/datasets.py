@@ -100,7 +100,9 @@ class JointDataset:
         if n:
             cols = min(bodys.shape[-1], 11)
             table[:n, :, :cols] = bodys[:n, :, :cols]
-        return (normalize_image(img), table, valids, np.float32(scale))
+        from smap_tpu.data.native import normalize_native
+
+        return (normalize_native(img), table, valids, np.float32(scale))
 
     def get_eval_sample(self, index: int):
         """Test/generation sample: (image, bodys_raw [P,15,C], path, scale

@@ -64,6 +64,22 @@ def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+def normalize_native(img_bgr_u8: np.ndarray) -> np.ndarray:
+    """One-pass uint8 BGR -> normalized float32 (numpy fallback inside)."""
+    lib = _load()
+    if lib is None:
+        from smap_tpu.data.preprocess import normalize_image
+        return normalize_image(img_bgr_u8)
+    src = np.ascontiguousarray(img_bgr_u8, np.uint8)
+    h, w = src.shape[:2]
+    out = np.empty((h, w, 3), np.float32)
+    mean = np.asarray(PIXEL_MEANS_BGR, np.float32)
+    std = np.asarray(PIXEL_STDS_BGR, np.float32)
+    lib.normalize_u8(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                     h, w, _fptr(out), _fptr(mean), _fptr(std))
+    return out
+
+
 def letterbox_normalize_native(img_bgr: np.ndarray,
                                net_hw: Tuple[int, int] = INPUT_SHAPE
                                ) -> Tuple[np.ndarray, Dict[str, float]]:

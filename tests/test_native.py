@@ -35,3 +35,13 @@ def test_native_padding_regions(rng):
     # 1920x1080 -> scale 0.4333 -> 468 rows, pad top/bottom
     np.testing.assert_allclose(got[:3], want[:3], atol=1e-6)
     np.testing.assert_allclose(got[-3:], want[-3:], atol=1e-6)
+
+
+@pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+def test_normalize_native_matches_numpy(rng):
+    from smap_tpu.data.native import normalize_native
+
+    img = (rng.rand(512, 832, 3) * 255).astype(np.uint8)
+    got = normalize_native(img)
+    want = normalize_image(img)
+    np.testing.assert_allclose(got, want, atol=1e-5)
