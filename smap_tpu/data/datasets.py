@@ -173,13 +173,32 @@ def epoch_indices(n: int, epoch: int, shuffle: bool, num_shards: int,
     return idx[shard::num_shards]
 
 
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_sample(args):
+    index, sample_seed = args
+    rng = np.random.RandomState(sample_seed)
+    return _WORKER_DATASET.get_train_sample(index, rng)
+
+
 def train_iterator(dataset: JointDataset, batch_size: int, max_iter: int,
                    start_iter: int = 0, seed: int = 0, num_shards: int = 1,
-                   shard: int = 0, prefetch: int = 2) -> Iterator:
+                   shard: int = 0, prefetch: int = 2,
+                   num_workers: int = 0) -> Iterator:
     """Infinite re-iteration to max_iter with background prefetch.
 
     Mirrors IterationBasedBatchSampler (re-shuffling each epoch, resuming at
-    ``start_iter``) but yields assembled numpy TrainBatch tuples.
+    ``start_iter``) but yields assembled numpy TrainBatch tuples. With
+    ``num_workers > 0``, samples are decoded/augmented in a fork-based
+    process pool (the reference's DataLoader workers,
+    lib/utils/dataloader.py:60-63); randomness stays per-sample-seeded so
+    results are identical for any worker count.
     """
     from smap_tpu.train.step import TrainBatch
 
@@ -187,26 +206,47 @@ def train_iterator(dataset: JointDataset, batch_size: int, max_iter: int,
     per_epoch = max(len(epoch_indices(n, 0, True, num_shards, shard))
                     // batch_size, 1)
 
-    def produce(out_q: queue.Queue):
-        it = start_iter
-        while it < max_iter:
-            epoch = it // per_epoch
-            order = epoch_indices(n, epoch, True, num_shards, shard, seed)
-            offset = (it % per_epoch) * batch_size
-            while offset + batch_size <= len(order) and it < max_iter:
-                rng = np.random.RandomState(
-                    (seed * 7919 + it * 31 + shard) % (2 ** 31))
-                samples = [dataset.get_train_sample(order[offset + k], rng)
-                           for k in range(batch_size)]
-                imgs, bodys, valids, scales = zip(*samples)
-                out_q.put((it, TrainBatch(
-                    images=np.stack(imgs), bodys=np.stack(bodys),
-                    valids=np.stack(valids),
-                    scales=np.asarray(scales, np.float32))))
-                it += 1
-                offset += batch_size
-        out_q.put(None)
+    pool = None
+    if num_workers > 0:
+        import multiprocessing as mp
 
+        pool = mp.get_context("fork").Pool(
+            num_workers, initializer=_worker_init, initargs=(dataset,))
+
+    def sample_seed(it, k):
+        return (seed * 7919 + it * 131 + k * 31 + shard) % (2 ** 31)
+
+    def make_batch(it, order, offset):
+        jobs = [(int(order[offset + k]), sample_seed(it, k))
+                for k in range(batch_size)]
+        if pool is not None:
+            samples = pool.map(_worker_sample, jobs)
+        else:
+            samples = [_worker_sample(job) for job in jobs]
+        imgs, bodys, valids, scales = zip(*samples)
+        return TrainBatch(images=np.stack(imgs), bodys=np.stack(bodys),
+                          valids=np.stack(valids),
+                          scales=np.asarray(scales, np.float32))
+
+    def produce(out_q: queue.Queue):
+        try:
+            it = start_iter
+            while it < max_iter:
+                epoch = it // per_epoch
+                order = epoch_indices(n, epoch, True, num_shards, shard,
+                                      seed)
+                offset = (it % per_epoch) * batch_size
+                while offset + batch_size <= len(order) and it < max_iter:
+                    out_q.put((it, make_batch(it, order, offset)))
+                    it += 1
+                    offset += batch_size
+            out_q.put(None)
+        finally:
+            if pool is not None:
+                pool.close()
+
+    # The single-worker path needs the global set in-process too.
+    _worker_init(dataset)
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     thread = threading.Thread(target=produce, args=(q,), daemon=True)
     thread.start()

@@ -114,3 +114,25 @@ def test_flip_augment_consistency(rng):
     np.testing.assert_allclose(bodys2[0, 3, 0], 199 - bodys[0, 9, 0])
     np.testing.assert_allclose(bodys2[0, 3, 1], bodys[0, 9, 1])
     np.testing.assert_array_equal(img2, cv2.flip(img, 1))
+
+
+def test_train_iterator_workers_deterministic(dataset_dir):
+    """Worker-pool loading yields identical batches to in-process loading."""
+    from smap_tpu.config import Config
+    from smap_tpu.data.datasets import (JointDataset, load_annotations,
+                                        train_iterator)
+
+    tmp, img_dir, json_path = dataset_dir
+    records = load_annotations(str(json_path))
+    roots = {"MUCO": str(img_dir), "COCO": str(img_dir)}
+    ds = JointDataset(records, roots, Config(), "train",
+                      with_augmentation=True)
+    serial = list(train_iterator(ds, batch_size=2, max_iter=2))
+    pooled = list(train_iterator(ds, batch_size=2, max_iter=2,
+                                 num_workers=2))
+    assert len(serial) == len(pooled) == 2
+    for (i0, b0), (i1, b1) in zip(serial, pooled):
+        assert i0 == i1
+        np.testing.assert_array_equal(b0.images, b1.images)
+        np.testing.assert_array_equal(b0.bodys, b1.bodys)
+        np.testing.assert_array_equal(b0.scales, b1.scales)
