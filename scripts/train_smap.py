@@ -30,6 +30,8 @@ def main() -> None:
                         help="continue from the latest checkpoint")
     parser.add_argument("--max-steps", type=int, default=0)
     parser.add_argument("--batch-per-device", type=int, default=0)
+    parser.add_argument("--num-workers", type=int, default=0,
+                        help="data-loading worker processes")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -69,7 +71,8 @@ def main() -> None:
         start_iter = int(state.step)
 
     batches = train_iterator(dataset, global_batch, max_iter,
-                             start_iter=start_iter, seed=args.seed)
+                             start_iter=start_iter, seed=args.seed,
+                             num_workers=args.num_workers)
     trainer.fit(batches, state=state, max_steps=max_iter)
 
 
