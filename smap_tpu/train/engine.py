@@ -27,17 +27,19 @@ from smap_tpu.train.step import (TrainBatch, TrainState, create_train_state,
                                  make_jitted_train_step)
 
 
-def get_logger(name: str = "smap_tpu",
-               log_file: Optional[str] = None) -> logging.Logger:
+def get_logger(name: str = "smap_tpu", log_file: Optional[str] = None,
+               rank: int = 0) -> logging.Logger:
+    """Per-rank-gated logger (reference: cvpack/utils/logger.py:7-28 —
+    non-zero ranks get no file handler and only warnings on the console)."""
     logger = logging.getLogger(name)
     if not logger.handlers:
-        logger.setLevel(logging.INFO)
+        logger.setLevel(logging.INFO if rank == 0 else logging.WARNING)
         fmt = logging.Formatter(
             "%(asctime)s %(name)s %(levelname)s %(message)s")
         sh = logging.StreamHandler()
         sh.setFormatter(fmt)
         logger.addHandler(sh)
-        if log_file:
+        if log_file and rank == 0:
             os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
             fh = logging.FileHandler(log_file)
             fh.setFormatter(fmt)
@@ -94,8 +96,11 @@ class Trainer:
         self.tc = trainer_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self.num_devices = int(self.mesh.devices.size)
+        import jax as _jax
+
         self.logger = get_logger(
-            log_file=os.path.join(trainer_cfg.output_dir, "log.txt"))
+            log_file=os.path.join(trainer_cfg.output_dir, "log.txt"),
+            rank=_jax.process_index())
         self.tx = make_optimizer(cfg.train, self.num_devices)
         self.step_fn = make_jitted_train_step(cfg, self.mesh, self.tx)
         self.ckpt = CheckpointManager(
