@@ -28,6 +28,11 @@ def main() -> None:
                         help="0: score all annotated people; 1: matched only")
     args = parser.parse_args()
 
+    if not os.path.exists(args.result_json):
+        raise SystemExit(f"result JSON not found: {args.result_json}")
+    if not os.path.isdir(args.mupots_dir):
+        raise SystemExit(f"MuPoTS directory not found: {args.mupots_dir}")
+
     from smap_tpu.evaluation.mupots_data import evaluate_results
 
     metrics = evaluate_results(

@@ -24,6 +24,9 @@ from smap_tpu.utils.cache import enable_compilation_cache
 def load_smap_variables(args, cfg):
     import jax
 
+    if args.smap_path and not os.path.exists(args.smap_path):
+        # reference behavior: report and exit (test.py:220-221)
+        raise SystemExit(f"No such checkpoint of SMAP {args.smap_path}")
     if args.smap_path:
         from smap_tpu.models.torch_convert import (convert_smap_state_dict,
                                                    load_torch_checkpoint)
