@@ -26,10 +26,59 @@ WARMUP = 1
 MAX_ITERS = 10
 TIME_BUDGET_S = 180.0  # the shared TPU's latency varies wildly; stop early
 
+# The axon runtime grants each process a terminal from a shared TPU pool;
+# grants vary ~600x in throughput (docs/perf_notes.md). Calibrate with a
+# small conv chain and re-exec for a fresh grant when degraded.
+CALIBRATION_THRESHOLD_S = 0.5
+MAX_REEXECS = 4
+
+
+def _calibrate() -> float:
+    """Steady-state seconds for a 20-conv bf16 chain (healthy: ~0.04s)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (3, 3, 256, 256), jnp.bfloat16) * 0.02
+    x = jax.random.normal(key, (16, 64, 104, 256), jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            y = jax.lax.conv_general_dilated(
+                c, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.maximum(y, 0), ()
+        y, _ = jax.lax.scan(body, x, None, length=20)
+        return jnp.sum(y)
+
+    float(chain(x))  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(chain(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _maybe_reexec_for_healthy_grant() -> None:
+    import os
+    import sys
+
+    tries = int(os.environ.get("SMAP_BENCH_TRY", "0"))
+    t = _calibrate()
+    print(f"# calibration: {t*1000:.0f} ms (try {tries})", file=sys.stderr)
+    if t > CALIBRATION_THRESHOLD_S and tries < MAX_REEXECS:
+        os.environ["SMAP_BENCH_TRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() != "cpu":
+        _maybe_reexec_for_healthy_grant()
 
     from smap_tpu.config import Config
     from smap_tpu.inference import SMAPInference

@@ -74,6 +74,7 @@ def test_smap_forward_parity():
         assert err < 2e-4, f"{name}: relative max-abs diff {err}"
 
 
+@pytest.mark.slow
 def test_converter_roundtrip_shapes():
     """Converter produces a tree that apply() accepts (no torch needed)."""
     import jax
