@@ -16,9 +16,13 @@ python loops). vs_baseline = ours / 24.0.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_REFERENCE_IMGS_PER_SEC = 24.0
 BATCH = 16
