@@ -131,6 +131,13 @@ class PostProcessConfig:
     """
 
     max_peaks: int = 127
+    # Candidate capacity for PAF scoring + association. The reference sizes
+    # its CUDA grid at 127x127 pairs (association.cpp:20) because GPU
+    # threads are free; on TPU the [L, K, K, S] line-sample gather scales
+    # with K^2 and dominates post-processing. 64 candidates per joint
+    # covers any realistic crowd (MuPoTS peaks ~#people <= 20); results are
+    # identical whenever per-joint peak counts stay below this cap.
+    assoc_peaks: int = 64
     nms_threshold: float = 0.2
     nms_offset: float = 0.5
     # PAF line-integral scoring.

@@ -25,7 +25,7 @@ from smap_tpu.config import (NUM_JOINTS, PAF_VECTOR, PostProcessConfig,
 from smap_tpu.ops.association import associate
 from smap_tpu.ops.depth import (back_project_bodies, chain_depths,
                                 read_limb_depths, root_depths)
-from smap_tpu.ops.nms import extract_peaks
+from smap_tpu.ops.nms import Peaks, extract_peaks
 from smap_tpu.ops.paf import paf_scores
 
 
@@ -81,6 +81,13 @@ def postprocess_single(outputs_2d: jnp.ndarray, outputs_3d: jnp.ndarray,
 
     peaks = extract_peaks(kpt, max_peaks=cfg.max_peaks,
                           threshold=cfg.nms_threshold, offset=cfg.nms_offset)
+    # Truncate candidates for the K^2-cost stages (see PostProcessConfig.
+    # assoc_peaks); identical results while per-joint peak counts fit.
+    kassoc = min(cfg.assoc_peaks, cfg.max_peaks)
+    if kassoc < cfg.max_peaks:
+        peaks = Peaks(xy=peaks.xy[:, :kassoc],
+                      score=peaks.score[:, :kassoc],
+                      count=jnp.minimum(peaks.count, kassoc))
     table = paf_scores(paf, peaks, limb_pairs,
                        inter_threshold=cfg.inter_threshold,
                        inter_min_above=cfg.inter_min_above_threshold,

@@ -186,3 +186,36 @@ def test_inference_flip_and_refine(rng):
     # refined rows have score in {0, 1}
     scores = np.asarray(res.bodies_3d)[..., 3]
     assert set(np.unique(scores)).issubset({0.0, 1.0})
+
+
+def test_assoc_peaks_truncation_neutral(rng):
+    """assoc_peaks < max_peaks is result-identical while peak counts fit."""
+    import jax.numpy as jnp
+
+    from smap_tpu.config import PostProcessConfig
+    from smap_tpu.ops.postprocess import postprocess_batch
+
+    H, W = 64, 104
+    hm, pafs, rdm, _, _ = _synthetic_heatmaps(
+        np.random.RandomState(42), num_people=4, h=H, w=W)
+    out2d = np.concatenate([hm.transpose(1, 2, 0) * 255.0,
+                            pafs.transpose(1, 2, 0) * 127.0], -1)[None]
+    out3d = np.random.RandomState(7).randn(1, H, W, 14).astype(np.float32)
+    outrd = rdm[None, ..., None]
+    scales = [{"scale": 0.433, "img_width": 1920.0, "img_height": 1080.0,
+               "f_x": 1500.0, "f_y": 1500.0, "cx": 960.0, "cy": 540.0}]
+    info = _scale_info(scales)
+
+    full = postprocess_batch(jnp.asarray(out2d), jnp.asarray(out3d),
+                             jnp.asarray(outrd), info,
+                             PostProcessConfig(max_peaks=127,
+                                               assoc_peaks=127))
+    trunc = postprocess_batch(jnp.asarray(out2d), jnp.asarray(out3d),
+                              jnp.asarray(outrd), info,
+                              PostProcessConfig(max_peaks=127,
+                                                assoc_peaks=32))
+    n = int(np.asarray(full.count)[0])
+    assert n == int(np.asarray(trunc.count)[0])
+    np.testing.assert_allclose(np.asarray(trunc.bodies_3d)[0, :n],
+                               np.asarray(full.bodies_3d)[0, :n],
+                               rtol=1e-5, atol=1e-5)
