@@ -134,10 +134,11 @@ class PostProcessConfig:
     # Candidate capacity for PAF scoring + association. The reference sizes
     # its CUDA grid at 127x127 pairs (association.cpp:20) because GPU
     # threads are free; on TPU the [L, K, K, S] line-sample gather scales
-    # with K^2 and dominates post-processing. 64 candidates per joint
-    # covers any realistic crowd (MuPoTS peaks ~#people <= 20); results are
-    # identical whenever per-joint peak counts stay below this cap.
-    assoc_peaks: int = 64
+    # with K^2 and dominates post-processing. 40 candidates per joint is
+    # 2x the reference's own MAX_PEOPLE=20 cap (config.py:30); results are
+    # identical whenever per-joint peak counts stay below this cap
+    # (tests/test_inference.py::test_assoc_peaks_truncation_neutral).
+    assoc_peaks: int = 40
     nms_threshold: float = 0.2
     nms_offset: float = 0.5
     # PAF line-integral scoring.
