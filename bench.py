@@ -66,7 +66,7 @@ def _calibrate() -> float:
     return best
 
 
-def _maybe_reexec_for_healthy_grant() -> None:
+def _maybe_reexec_for_healthy_grant() -> float:
     import os
     import sys
 
@@ -79,14 +79,16 @@ def _maybe_reexec_for_healthy_grant() -> None:
         sys.stderr.flush()
         sys.stdout.flush()
         os.execv(sys.executable, [sys.executable] + sys.argv)
+    return t
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    calibration_s = 0.0
     if jax.default_backend() != "cpu":
-        _maybe_reexec_for_healthy_grant()
+        calibration_s = _maybe_reexec_for_healthy_grant()
 
     from smap_tpu.config import Config
     from smap_tpu.inference import SMAPInference
@@ -102,7 +104,18 @@ def main() -> None:
     variables = jax.jit(smap_bench_init)(
         jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_shape, 3),
                                          jnp.float32))
-    engine = SMAPInference(variables, cfg)
+    # SMAP_BENCH_FUSED=1 A/Bs the single-program pipeline (no stage split).
+    fused = bool(int(os.environ.get("SMAP_BENCH_FUSED", "0")))
+    engine = SMAPInference(variables, cfg, fused=fused)
+    if fused:
+        def run_timed(images, scales):
+            import time as _t
+
+            t0 = _t.perf_counter()
+            res = jax.block_until_ready(engine.run_batch(images, scales))
+            dt = (_t.perf_counter() - t0) * 1e3
+            return res, {"model_ms": dt, "postproc_ms": 0.0}
+        engine.run_batch_timed = run_timed
 
     rng = np.random.RandomState(0)
     images = rng.randn(BATCH, *cfg.input_shape, 3).astype(np.float32)
@@ -111,25 +124,33 @@ def main() -> None:
               for _ in range(BATCH)]
 
     for _ in range(WARMUP):
-        res = engine.run_batch(images, scales)
+        res, _ = engine.run_batch_timed(images, scales)
         jax.block_until_ready(res)
 
-    times = []
+    times, model_ms, post_ms = [], [], []
     budget_start = time.perf_counter()
     for _ in range(MAX_ITERS):
         t0 = time.perf_counter()
-        res = engine.run_batch(images, scales)
-        jax.block_until_ready(res)
+        res, stage_ms = engine.run_batch_timed(images, scales)
         times.append(time.perf_counter() - t0)
+        model_ms.append(stage_ms["model_ms"])
+        post_ms.append(stage_ms["postproc_ms"])
         if time.perf_counter() - budget_start > TIME_BUDGET_S and len(times) >= 2:
             break
 
     imgs_per_sec = BATCH / float(np.median(times))
+    # Stage-split medians ride along so round-over-round regressions stay
+    # attributable through the grant-pool throughput lottery.
     print(json.dumps({
         "metric": "e2e_inference_throughput_512x832",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3),
+        "model_ms": round(float(np.median(model_ms)), 1),
+        "postproc_ms": round(float(np.median(post_ms)), 1),
+        "calibration_ms": round(calibration_s * 1e3, 1),
+        "batch": BATCH,
+        "iters": len(times),
     }))
 
 

@@ -62,7 +62,19 @@ def main() -> None:
                         help="image root for generate_* modes")
     parser.add_argument("--json_name", default="")
     parser.add_argument("--output-dir", default="model_logs/stage3_root2/result")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: initialize jax.distributed, shard "
+                        "the eval set per process and all-gather the results")
+    parser.add_argument("--coordinator", default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
+
+    if args.distributed or args.coordinator:
+        from smap_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
 
     enable_compilation_cache()
 
@@ -107,11 +119,21 @@ def main() -> None:
                       cfg, stage, with_augmentation=False)
     engine = SMAPInference(variables, cfg, refine_variables,
                            bool(args.do_flip))
+    # Contiguous per-process eval shard + picklable all-gather merge
+    # (reference: lib/utils/dataloader.py:79-85 + comm.py:47-87).
+    import jax
+
     result = run_labeled_inference(ds, engine, mode=args.test_mode,
-                                   batch_size=args.batch_size)
-    with open(out_json, "w") as f:
-        json.dump(result, f)
-    print(f"results written to {out_json}")
+                                   batch_size=args.batch_size,
+                                   shard=jax.process_index(),
+                                   num_shards=jax.process_count(),
+                                   gather=jax.process_count() > 1)
+    from smap_tpu.parallel.distributed import is_main_process
+
+    if is_main_process():
+        with open(out_json, "w") as f:
+            json.dump(result, f)
+        print(f"results written to {out_json}")
 
 
 if __name__ == "__main__":

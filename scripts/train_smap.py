@@ -33,9 +33,28 @@ def main() -> None:
     parser.add_argument("--num-workers", type=int, default=0,
                         help="data-loading worker processes")
     parser.add_argument("--seed", type=int, default=0)
+    # Multi-host (one process per host on a TPU pod; the reference's
+    # torch.distributed.launch + env:// rendezvous, train.sh:5). On Cloud
+    # TPU VMs jax.distributed discovers the coordinator automatically and
+    # the flags can be omitted; --distributed alone enables it there.
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed (multi-host)")
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator address host:port (optional on "
+                        "TPU VMs)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
 
+    if args.distributed or args.coordinator:
+        from smap_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+
     enable_compilation_cache()
+
+    import jax
 
     from smap_tpu.config import Config
     from smap_tpu.data.datasets import (JointDataset, load_annotations,
@@ -70,8 +89,14 @@ def main() -> None:
         state = trainer.ckpt.restore(state)
         start_iter = int(state.step)
 
-    batches = train_iterator(dataset, global_batch, max_iter,
+    # Each host loads only its shard of every global batch (reference:
+    # per-rank DistributedSampler, lib/utils/dataloader.py:12-65);
+    # shard_batch assembles the global array from the local slices.
+    host_batch = global_batch // jax.process_count()
+    batches = train_iterator(dataset, host_batch, max_iter,
                              start_iter=start_iter, seed=args.seed,
+                             num_shards=jax.process_count(),
+                             shard=jax.process_index(),
                              num_workers=args.num_workers)
     trainer.fit(batches, state=state, max_steps=max_iter)
 

@@ -187,6 +187,11 @@ class TrainConfig:
     flip_prob: float = 0.5
     scale_min: float = 0.8
     scale_max: float = 1.1
+    # Opt-in: compose rotate+scale+crop(+flip) into ONE warpAffine resample
+    # instead of the reference's rotate-warp + resize chain — ~2x faster
+    # host augmentation with identical joint geometry but numerics-visible
+    # pixel differences (single INTER_LINEAR resample).
+    composed_warp: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -116,11 +116,92 @@ def mark_out_of_crop(bodys: np.ndarray, crop_hw: Tuple[int, int]
     return bodys
 
 
+def composed_augment_sample(img: np.ndarray, bodys: np.ndarray, rng,
+                            cfg: TrainConfig, crop_hw: Tuple[int, int],
+                            is_coco: bool, with_augmentation: bool
+                            ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Single-resample augmentation: rotate+scale+crop(+flip) as ONE
+    composed affine warp.
+
+    Same random-draw order, joint geometry and integer truncations as the
+    sequential chain (so joint tables are bit-compatible up to float
+    rounding); the image goes through one INTER_LINEAR resample instead of
+    the reference's INTER_CUBIC rotation warp followed by an INTER_LINEAR
+    resize (ImageAugmentation.py:54-170) — a numerics-visible, opt-in
+    deviation (TrainConfig.composed_warp) that roughly halves host
+    augmentation cost on large frames.
+    """
+    import cv2
+
+    crop_y, crop_x = crop_hw
+    h, w = img.shape[:2]
+    center = np.array([w // 2, h // 2])
+
+    # --- consume randomness in the sequential chain's order ---
+    degree = ((rng.random_sample() - 0.5) * 2 * cfg.rotate_max_deg
+              if with_augmentation else 0.0)
+    dice_x = rng.random_sample()
+    dice_y = rng.random_sample()
+    scale_random = rng.random_sample()
+    do_flip = with_augmentation and rng.random_sample() <= cfg.flip_prob
+
+    # Rotation about the image center onto an expanded canvas
+    # (rotate_augment semantics).
+    cx, cy = w // 2, h // 2
+    M = cv2.getRotationMatrix2D((cx, cy), -degree, 1.0)
+    cos, sin = abs(M[0, 0]), abs(M[0, 1])
+    nw = int(h * sin + w * cos)
+    nh = int(h * cos + w * sin)
+    M[0, 2] += nw / 2 - cx
+    M[1, 2] += nh / 2 - cy
+    A = np.vstack([M, [0.0, 0.0, 1.0]])
+
+    # Fit-scale of the rotated canvas (croppad_augment semantics).
+    scale = min(crop_x / float(nw), crop_y / float(nh))
+    if with_augmentation and is_coco:
+        scale *= ((cfg.scale_max - cfg.scale_min) * scale_random
+                  + cfg.scale_min)
+    jitter_max = cfg.center_trans_max if with_augmentation else 0.0
+    x_offset = int((dice_x - 0.5) * 2 * jitter_max)
+    y_offset = int((dice_y - 0.5) * 2 * jitter_max)
+    ctr = (center * scale + np.array([x_offset, y_offset])).astype(int)
+    offset = np.array([crop_x / 2 - ctr[0], crop_y / 2 - ctr[1]], np.int64)
+
+    A = np.diag([scale, scale, 1.0]) @ A
+    A[0, 2] += offset[0]
+    A[1, 2] += offset[1]
+    if do_flip:
+        A = np.array([[-1.0, 0.0, crop_x - 1.0],
+                      [0.0, 1.0, 0.0],
+                      [0.0, 0.0, 1.0]]) @ A
+
+    out = cv2.warpAffine(img, A[:2], (crop_x, crop_y),
+                         flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT,
+                         borderValue=(128, 128, 128))
+
+    bodys = bodys.copy()
+    if len(bodys):
+        pts = np.concatenate([bodys[..., :2],
+                              np.ones((*bodys.shape[:2], 1))], axis=-1)
+        bodys[..., :2] = np.einsum("ij,pkj->pki", A[:2], pts)
+        if do_flip:
+            bodys = bodys[:, list(FLIP_ORDER), :]
+    bodys = mark_out_of_crop(bodys, crop_hw)
+    return out, bodys, scale
+
+
 def augment_sample(img: np.ndarray, bodys: np.ndarray, rng,
                    cfg: TrainConfig, crop_hw: Tuple[int, int],
                    is_coco: bool, with_augmentation: bool
                    ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Full augmentation chain (base_dataset.py:136-149)."""
+    # Composed path only when actually augmenting: without augmentation the
+    # sequential chain is already a single resize resample, and composing a
+    # zero-degree rotation would add a half-pixel canvas shift on odd dims.
+    if cfg.composed_warp and with_augmentation:
+        return composed_augment_sample(img, bodys, rng, cfg, crop_hw,
+                                       is_coco, with_augmentation)
     # Center is the *pre-rotation* image center: the reference computes it in
     # get_anno (base_dataset.py:106) and aug_rotate never updates it.
     center = np.array([img.shape[1] // 2, img.shape[0] // 2])

@@ -31,39 +31,81 @@ from smap_tpu.ops.refine import apply_refinement, build_refine_input
 class SMAPInference:
     """Batched, jit-compiled inference pipeline.
 
+    By default the pipeline runs as TWO jitted programs — model forward,
+    then post-processing — instead of one fused program. Per-call dispatch
+    is ~30 ms on the target runtime while the fused ~700-op program was
+    measured ~1.7 s/batch slower than the sum of its stages
+    (docs/perf_notes.md); keeping the seam at the (small) network-output
+    maps also lets XLA pick layouts for each half independently.
+    ``fused=True`` restores the single-program variant for A/B benching.
+
     Args:
       variables: SMAP Flax variables ({'params', 'batch_stats'}).
       cfg: framework Config.
       refine_variables: optional RefineNet variables; enables lifting.
       do_flip: horizontal flip test-time augmentation (test.py:55-70).
+      fused: compile model forward + post-processing as one program.
+      overflow_fallback: when an image's per-joint peak count exceeds
+        ``cfg.post.assoc_peaks`` (PoseResults.overflow), re-run the batch's
+        post-processing at the reference's full 127-peak capacity
+        (extensions/association.cpp:20) so crowded scenes never silently
+        diverge. The wide program compiles lazily on first overflow.
+        Requires the split pipeline (``fused=False``).
     """
 
     def __init__(self, variables, cfg: Config = Config(),
-                 refine_variables=None, do_flip: bool = False):
+                 refine_variables=None, do_flip: bool = False,
+                 fused: bool = False, overflow_fallback: bool = False):
+        if fused and overflow_fallback:
+            raise ValueError("overflow_fallback requires the split "
+                             "(fused=False) pipeline")
         self.cfg = cfg
         self.variables = variables
         self.refine_variables = refine_variables
         self.do_flip = do_flip
+        self.fused = fused
+        self.overflow_fallback = overflow_fallback
         self.model = SMAP(cfg.model)
         self.refine_model = RefineNet(cfg.refine)
 
+        def smap_inference_forward(variables, images):
+            return self._forward(variables, images)
+
+        def smap_inference_postprocess(refine_variables, out2d, out3d, outrd,
+                                       scale):
+            return self._postprocess(refine_variables, out2d, out3d, outrd,
+                                     scale, self.cfg.post)
+
         def smap_inference_pipeline(variables, refine_variables, images,
                                     scale):
-            return self._pipeline(variables, refine_variables, images, scale)
+            out2d, out3d, outrd = self._forward(variables, images)
+            return self._postprocess(refine_variables, out2d, out3d, outrd,
+                                     scale, self.cfg.post)
 
-        self._jitted = jax.jit(smap_inference_pipeline)
+        if fused:
+            self._jit_fused = jax.jit(smap_inference_pipeline)
+        else:
+            self._jit_forward = jax.jit(smap_inference_forward)
+            # The maps are one-shot intermediates: donate them so XLA can
+            # reuse their buffers inside the post-processing program.
+            self._jit_post = jax.jit(smap_inference_postprocess,
+                                     donate_argnums=(1, 2, 3))
+        self._jit_post_wide = None   # lazy full-capacity fallback program
 
-    def _pipeline(self, variables, refine_variables, images: jnp.ndarray,
-                  scale: ScaleInfo) -> PoseResults:
+    def _forward(self, variables, images: jnp.ndarray):
         out2d, out3d, outrd = self.model.apply(variables, images,
                                                method=SMAP.infer)
         if self.do_flip:
             f2d, _, _ = self.model.apply(variables, images[:, :, ::-1, :],
                                          method=SMAP.infer)
             out2d = flip_tta_merge(out2d, f2d, FLIP_ORDER, PAF_FLIP_CHANNEL)
+        return out2d, out3d, outrd
+
+    def _postprocess(self, refine_variables, out2d, out3d, outrd,
+                     scale: ScaleInfo, post_cfg) -> PoseResults:
         net_h, net_w = self.cfg.input_shape
         results = postprocess_batch(out2d, out3d, outrd, scale,
-                                    self.cfg.post, net_w=float(net_w),
+                                    post_cfg, net_w=float(net_w),
                                     net_h=float(net_h), stride=self.cfg.stride)
         if refine_variables is not None:
             def refine_one(b2d, b3d):
@@ -76,6 +118,33 @@ class SMAPInference:
             results = results._replace(bodies_3d=refined)
         return results
 
+    def _make_scale_info(self, scales: Sequence[Dict[str, float]]
+                         ) -> ScaleInfo:
+        return ScaleInfo(
+            scale=jnp.asarray([s["scale"] for s in scales], jnp.float32),
+            img_w=jnp.asarray([s["img_width"] for s in scales], jnp.float32),
+            img_h=jnp.asarray([s["img_height"] for s in scales], jnp.float32),
+            fx=jnp.asarray([s["f_x"] for s in scales], jnp.float32),
+            fy=jnp.asarray([s["f_y"] for s in scales], jnp.float32),
+            cx=jnp.asarray([s["cx"] for s in scales], jnp.float32),
+            cy=jnp.asarray([s["cy"] for s in scales], jnp.float32))
+
+    def _postprocess_wide(self, refine_variables, maps, info) -> PoseResults:
+        """Full-capacity (assoc_peaks = max_peaks) post-processing."""
+        import dataclasses
+
+        if self._jit_post_wide is None:
+            wide_cfg = dataclasses.replace(
+                self.cfg.post, assoc_peaks=self.cfg.post.max_peaks)
+
+            def smap_inference_postprocess_wide(refine_variables, out2d,
+                                                out3d, outrd, scale):
+                return self._postprocess(refine_variables, out2d, out3d,
+                                         outrd, scale, wide_cfg)
+
+            self._jit_post_wide = jax.jit(smap_inference_postprocess_wide)
+        return self._jit_post_wide(refine_variables, *maps, info)
+
     def run_batch(self, images: np.ndarray, scales: Sequence[Dict[str, float]]
                   ) -> PoseResults:
         """Run on a preprocessed batch.
@@ -84,16 +153,41 @@ class SMAPInference:
           images: [B, H, W, 3] normalized float32 (see data.preprocess).
           scales: per-image scale dicts.
         """
-        info = ScaleInfo(
-            scale=jnp.asarray([s["scale"] for s in scales], jnp.float32),
-            img_w=jnp.asarray([s["img_width"] for s in scales], jnp.float32),
-            img_h=jnp.asarray([s["img_height"] for s in scales], jnp.float32),
-            fx=jnp.asarray([s["f_x"] for s in scales], jnp.float32),
-            fy=jnp.asarray([s["f_y"] for s in scales], jnp.float32),
-            cx=jnp.asarray([s["cx"] for s in scales], jnp.float32),
-            cy=jnp.asarray([s["cy"] for s in scales], jnp.float32))
-        return self._jitted(self.variables, self.refine_variables,
-                            jnp.asarray(images), info)
+        info = self._make_scale_info(scales)
+        if self.fused:
+            return self._jit_fused(self.variables, self.refine_variables,
+                                   jnp.asarray(images), info)
+        maps = self._jit_forward(self.variables, jnp.asarray(images))
+        if self.overflow_fallback:
+            # Keep the maps alive for the potential wide re-run (the fast
+            # program donates its inputs).
+            results = self._jit_post(self.refine_variables,
+                                     *jax.tree.map(jnp.copy, maps), info)
+            if bool(jnp.any(results.overflow)):
+                results = self._postprocess_wide(self.refine_variables,
+                                                 maps, info)
+            return results
+        return self._jit_post(self.refine_variables, *maps, info)
+
+    def run_batch_timed(self, images: np.ndarray,
+                        scales: Sequence[Dict[str, float]]):
+        """run_batch + per-stage wall times (split mode only).
+
+        Returns (results, {"model_ms", "postproc_ms"}).
+        """
+        import time
+
+        assert not self.fused, "stage timing needs the split pipeline"
+        info = self._make_scale_info(scales)
+        x = jnp.asarray(images)
+        t0 = time.perf_counter()
+        maps = jax.block_until_ready(self._jit_forward(self.variables, x))
+        t1 = time.perf_counter()
+        results = jax.block_until_ready(
+            self._jit_post(self.refine_variables, *maps, info))
+        t2 = time.perf_counter()
+        return results, {"model_ms": (t1 - t0) * 1e3,
+                         "postproc_ms": (t2 - t1) * 1e3}
 
     # ------------------------------------------------------------------
     # Result serialization (reference JSON schema, test_util.py:134-158)
@@ -131,8 +225,8 @@ class SMAPInference:
 def run_labeled_inference(dataset, engine: "SMAPInference",
                           mode: str = "generate_result",
                           batch_size: int = 16, root_idx: int = ROOT_IDX,
-                          shard: int = 0, num_shards: int = 1
-                          ) -> Dict[str, Any]:
+                          shard: int = 0, num_shards: int = 1,
+                          gather: bool = False) -> Dict[str, Any]:
     """Inference over a labeled JointDataset (reference 'generate_result' /
     'generate_train' modes, test.py:42-145).
 
@@ -140,6 +234,9 @@ def run_labeled_inference(dataset, engine: "SMAPInference",
     intrinsics come from the GT rows when present; predictions are
     GT-registered before serialization. ``shard``/``num_shards`` split the
     dataset contiguously per host (lib/utils/dataloader.py:79-85).
+    ``gather=True`` merges every host's result shard via the picklable
+    all-gather (reference: lib/utils/comm.py:47-87) so each process returns
+    the full result set; a no-op when single-process.
     """
     from smap_tpu.evaluation.register import register_pred
 
@@ -164,7 +261,11 @@ def run_labeled_inference(dataset, engine: "SMAPInference",
             if len(valid) and valid.shape[-1] >= 11:
                 scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 8],
                              cx=valid[0, 0, 9], cy=valid[0, 0, 10])
-            elif len(valid):
+            elif len(valid) and valid.shape[-1] >= 8:
+                # Narrow annotation rows carry only f_x at column 7
+                # (data_format.md: bodys rows are >= 8 wide when intrinsics
+                # are present at all); anything narrower falls through to
+                # the fx=fy=W default below.
                 scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 7],
                              cx=scale["img_width"] / 2,
                              cy=scale["img_height"] / 2)
@@ -199,6 +300,11 @@ def run_labeled_inference(dataset, engine: "SMAPInference",
                     "root_d": newd.tolist(), "image_path": samples[j][2],
                     "gt_3d": gt[:, :, 4:].tolist(),
                     "gt_2d": gt[:, :, :4].tolist()})
+    if gather:
+        from smap_tpu.parallel.distributed import all_gather_objects
+
+        shards = all_gather_objects(result["3d_pairs"])
+        result["3d_pairs"] = [p for s in shards for p in s]
     return result
 
 

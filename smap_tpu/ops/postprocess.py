@@ -36,12 +36,17 @@ class PoseResults(NamedTuple):
     bodies_3d: [K, J, 4] (X, Y, Z, score) camera space.
     root_depth: [K] absolute root depth per person.
     count: [] number of valid persons.
+    overflow: [] bool — some joint channel had more peaks than the
+      ``assoc_peaks`` capacity, so results may diverge from the reference's
+      127-peak tables (extensions/association.cpp:20). Callers can re-run
+      flagged images at full capacity (see SMAPInference).
     """
 
     bodies_2d: jnp.ndarray
     bodies_3d: jnp.ndarray
     root_depth: jnp.ndarray
     count: jnp.ndarray
+    overflow: jnp.ndarray
 
 
 class ScaleInfo(NamedTuple):
@@ -83,7 +88,11 @@ def postprocess_single(outputs_2d: jnp.ndarray, outputs_3d: jnp.ndarray,
                           threshold=cfg.nms_threshold, offset=cfg.nms_offset)
     # Truncate candidates for the K^2-cost stages (see PostProcessConfig.
     # assoc_peaks); identical results while per-joint peak counts fit.
+    # ``overflow`` flags images where truncation actually dropped peaks
+    # (counts are already capped at max_peaks=127, the reference's own cap,
+    # so overflow is False whenever the reference itself would truncate).
     kassoc = min(cfg.assoc_peaks, cfg.max_peaks)
+    overflow = jnp.any(peaks.count > kassoc)
     if kassoc < cfg.max_peaks:
         peaks = Peaks(xy=peaks.xy[:, :kassoc],
                       score=peaks.score[:, :kassoc],
@@ -124,7 +133,8 @@ def postprocess_single(outputs_2d: jnp.ndarray, outputs_3d: jnp.ndarray,
     # (test_util.py:45-57 mutates pred_bodys in place).
     bodies_2d = bodies_2d.at[..., 2].set(rel_z)
     return PoseResults(bodies_2d=bodies_2d, bodies_3d=bodies_3d,
-                       root_depth=abs_root, count=bodies.count)
+                       root_depth=abs_root, count=bodies.count,
+                       overflow=overflow)
 
 
 def postprocess_batch(outputs_2d, outputs_3d, outputs_rd, scale: ScaleInfo,

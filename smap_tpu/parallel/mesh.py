@@ -41,6 +41,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Place a pytree of host arrays with the batch axis sharded."""
+    """Place a pytree of host arrays with the batch axis sharded.
+
+    Single-process: a plain sharded device_put. Multi-process (one process
+    per host on a pod): each host holds only its *local* slice of the global
+    batch (the data iterator shards with num_shards=process_count — the
+    SPMD analogue of the reference's per-rank DistributedSampler,
+    cvpack/dataset/torch_samplers/), and the global array is assembled
+    from the process-local shards without any cross-host copy.
+    """
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sharding, np.asarray(a)), batch)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)

@@ -116,6 +116,67 @@ def test_flip_augment_consistency(rng):
     np.testing.assert_array_equal(img2, cv2.flip(img, 1))
 
 
+def test_composed_warp_matches_sequential_geometry(rng):
+    """The opt-in single-warp augmentation must reproduce the sequential
+    chain's joint geometry and random-draw order exactly (only image
+    interpolation may differ)."""
+    import dataclasses
+
+    from smap_tpu.config import TrainConfig
+    from smap_tpu.data.augmentation import augment_sample
+
+    cfg_seq = TrainConfig()
+    cfg_one = dataclasses.replace(cfg_seq, composed_warp=True)
+    crop_hw = (128, 208)
+
+    # Smooth image: interpolation-scheme differences stay small (noise
+    # images would maximize linear-vs-cubic disagreement by construction).
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float64)
+    smooth = np.stack([xx * 0.6, yy * 0.9,
+                       80 + 60 * np.sin(xx / 25) * np.cos(yy / 20)], -1)
+    img = np.clip(smooth, 0, 255).astype(np.uint8)
+
+    for seed in range(8):
+        r = np.random.RandomState(100 + seed)
+        bodys = np.zeros((2, 15, 11))
+        bodys[..., 0] = r.uniform(10, 310, (2, 15))
+        bodys[..., 1] = r.uniform(10, 230, (2, 15))
+        bodys[..., 2] = r.uniform(100, 400, (2, 15))
+        bodys[..., 3] = 2
+        for is_coco in (False, True):
+            img_a, bod_a, sc_a = augment_sample(
+                img, bodys, np.random.RandomState(seed), cfg_seq, crop_hw,
+                is_coco=is_coco, with_augmentation=True)
+            img_b, bod_b, sc_b = augment_sample(
+                img, bodys, np.random.RandomState(seed), cfg_one, crop_hw,
+                is_coco=is_coco, with_augmentation=True)
+            assert img_b.shape == img_a.shape == (128, 208, 3)
+            assert sc_b == pytest.approx(sc_a)
+            # identical joint coordinates (up to composed-matrix rounding)
+            np.testing.assert_allclose(bod_b[..., :2], bod_a[..., :2],
+                                       atol=1e-3)
+            # identical validity decisions
+            np.testing.assert_array_equal(bod_b[..., 3] > 0,
+                                          bod_a[..., 3] > 0)
+            # depth columns untouched by either path
+            np.testing.assert_array_equal(bod_b[..., 2], bod_a[..., 2])
+            # pixels only roughly agree (different resample chain)
+            diff = (img_a.astype(int) - img_b.astype(int))
+            assert np.abs(diff).mean() < 12.0
+
+    # Without augmentation the composed flag must fall back to the exact
+    # sequential (single-resize) path.
+    img_a, bod_a, sc_a = augment_sample(
+        img, bodys, np.random.RandomState(0), cfg_seq, crop_hw,
+        is_coco=False, with_augmentation=False)
+    img_b, bod_b, sc_b = augment_sample(
+        img, bodys, np.random.RandomState(0), cfg_one, crop_hw,
+        is_coco=False, with_augmentation=False)
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_array_equal(bod_a, bod_b)
+    assert sc_a == sc_b
+
+
 def test_train_iterator_workers_deterministic(dataset_dir):
     """Worker-pool loading yields identical batches to in-process loading."""
     from smap_tpu.config import Config

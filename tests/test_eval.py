@@ -109,6 +109,37 @@ def test_missing_prediction_counts_as_undetected(rng):
     assert metrics.pck["Total"] == pytest.approx(0.0)
 
 
+def test_pck15_denominator_includes_undetected(rng):
+    """Golden case for the MATLAB PCK15 summary (mupots_smap.m:245-256):
+    undetected persons are injected as 1e5-mm rows in EVALUATION_MODE 0 and
+    DO count in the denominator (`count = count + size(tmp,3)` runs over
+    every considered column, undetected included)."""
+    # Frame with 3 GT people; predictions cover only the first 2.
+    ann, pred = _perfect_frame(rng, n_people=3)
+    partial = FramePrediction(pose_2d=pred.pose_2d[:2],
+                              pose_3d=pred.pose_3d[:2],
+                              visibility=pred.visibility[:2])
+    res = evaluate_sequence([ann], [partial], is_relative=True,
+                            use_skel=False, eval_mode=0)
+    assert res.undetected == 1
+    # 3 considered rows (2 matched + 1 undetected 1e5 row).
+    assert res.per_joint_error.shape[1] == 3
+    metrics = aggregate([res])
+    # Matched persons are exact -> error 0; undetected row is all misses.
+    np.testing.assert_allclose(metrics.pck15_per_joint,
+                               np.full(15, 2.0 / 3.0))
+    # PCK@150 over eval joints sees the same 2/3 ratio.
+    assert metrics.pck["Total"] == pytest.approx(100.0 * 2.0 / 3.0)
+
+    # EVALUATION_MODE 1 drops the undetected column from numerator AND
+    # denominator (only_matched_annotations_ prefix in the MATLAB).
+    res1 = evaluate_sequence([ann], [partial], is_relative=True,
+                             use_skel=False, eval_mode=1)
+    assert res1.per_joint_error.shape[1] == 2
+    metrics1 = aggregate([res1])
+    np.testing.assert_allclose(metrics1.pck15_per_joint, 1.0)
+
+
 def test_eval_mode_1_skips_unmatched(rng):
     ann, pred = _perfect_frame(rng, n_people=2)
     empty = FramePrediction(pose_2d=np.zeros((0, 15, 2)),

@@ -219,3 +219,91 @@ def test_assoc_peaks_truncation_neutral(rng):
     np.testing.assert_allclose(np.asarray(trunc.bodies_3d)[0, :n],
                                np.asarray(full.bodies_3d)[0, :n],
                                rtol=1e-5, atol=1e-5)
+    # Nothing truncated -> no overflow on either path.
+    assert not bool(np.asarray(trunc.overflow)[0])
+    assert not bool(np.asarray(full.overflow)[0])
+
+
+def _crowded_maps(h=64, w=104, extra_grid=6):
+    """Synthetic maps where one joint channel has a dense grid of spurious
+    peaks (a crowd/noise scenario exceeding small assoc_peaks caps)."""
+    hm, pafs, rdm, _, _ = _synthetic_heatmaps(
+        np.random.RandomState(3), num_people=3, h=h, w=w)
+    # Spray isolated local maxima (3px spacing keeps each a strict 3x3 max)
+    # on the head-top channel, scores below the true peaks'.
+    for yy in range(30, 30 + 3 * extra_grid, 3):
+        for xx in range(40, 40 + 3 * extra_grid, 3):
+            if hm[1, yy - 2:yy + 3, xx - 2:xx + 3].max() < 0.3:
+                hm[1, yy, xx] = 0.35
+    out2d = np.concatenate([hm.transpose(1, 2, 0) * 255.0,
+                            pafs.transpose(1, 2, 0) * 127.0], -1)[None]
+    out3d = np.random.RandomState(8).randn(1, h, w, 14).astype(np.float32)
+    outrd = rdm[None, ..., None].astype(np.float32)
+    return out2d.astype(np.float32), out3d, outrd
+
+
+def test_overflow_flag_on_crowded_scene():
+    """>assoc_peaks peaks in one channel must raise PoseResults.overflow
+    (silent-divergence guard for extensions/association.cpp:20 semantics)."""
+    import jax.numpy as jnp
+
+    from smap_tpu.config import PostProcessConfig
+    from smap_tpu.ops.postprocess import postprocess_batch
+
+    out2d, out3d, outrd = _crowded_maps()
+    scales = [{"scale": 0.433, "img_width": 1920.0, "img_height": 1080.0,
+               "f_x": 1500.0, "f_y": 1500.0, "cx": 960.0, "cy": 540.0}]
+    info = _scale_info(scales)
+
+    trunc = postprocess_batch(jnp.asarray(out2d), jnp.asarray(out3d),
+                              jnp.asarray(outrd), info,
+                              PostProcessConfig(max_peaks=127, assoc_peaks=8))
+    full = postprocess_batch(jnp.asarray(out2d), jnp.asarray(out3d),
+                             jnp.asarray(outrd), info,
+                             PostProcessConfig(max_peaks=127, assoc_peaks=127))
+    assert bool(np.asarray(trunc.overflow)[0])
+    assert not bool(np.asarray(full.overflow)[0])
+
+
+def test_overflow_fallback_matches_full_capacity():
+    """SMAPInference(overflow_fallback=True) re-runs flagged batches at the
+    127-peak capacity and matches the full-capacity program exactly."""
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.inference import SMAPInference
+    from smap_tpu.ops.postprocess import postprocess_batch
+
+    H, W = 64, 104
+    out2d, out3d, outrd = _crowded_maps(H, W)
+    scales = [{"scale": 0.433, "img_width": 1920.0, "img_height": 1080.0,
+               "f_x": 1500.0, "f_y": 1500.0, "cx": 960.0, "cy": 540.0}]
+    info = _scale_info(scales)
+    post = PostProcessConfig(max_peaks=127, assoc_peaks=8)
+    cfg = Config(model=ModelConfig(output_shape=(H, W),
+                                   compute_dtype="float32"),
+                 post=post, input_shape=(H * 4, W * 4), output_shape=(H, W))
+
+    engine = SMAPInference({}, cfg, overflow_fallback=True)
+    # Bypass the network: feed the synthetic maps straight to post-processing.
+    maps = (jnp.asarray(out2d), jnp.asarray(out3d), jnp.asarray(outrd))
+    engine._jit_forward = lambda variables, images: tuple(
+        jnp.copy(m) for m in maps)
+    res = engine.run_batch(np.zeros((1, H * 4, W * 4, 3), np.float32), scales)
+
+    wide = postprocess_batch(*maps, info,
+                             PostProcessConfig(max_peaks=127,
+                                               assoc_peaks=127))
+    assert not bool(np.asarray(res.overflow)[0])
+    np.testing.assert_allclose(np.asarray(res.bodies_3d),
+                               np.asarray(wide.bodies_3d), rtol=1e-6,
+                               atol=1e-6)
+    assert int(np.asarray(res.count)[0]) == int(np.asarray(wide.count)[0])
+
+    # Without the fallback the truncated result must carry the flag.
+    engine2 = SMAPInference({}, cfg)
+    engine2._jit_forward = lambda variables, images: tuple(
+        jnp.copy(m) for m in maps)
+    res2 = engine2.run_batch(np.zeros((1, H * 4, W * 4, 3), np.float32),
+                             scales)
+    assert bool(np.asarray(res2.overflow)[0])

@@ -75,6 +75,71 @@ def test_smap_forward_parity():
 
 
 @pytest.mark.slow
+def test_smap_forward_parity_full_resolution():
+    """Production-resolution parity gate (512x832, 3 stages): float32 must
+    match the torch reference to fp tolerance and the deployment bfloat16
+    path must stay within bf16 accumulation error of it.
+
+    The in-env proxy for pretrained-checkpoint parity (no .pth model zoo is
+    downloadable here): same architecture, same converted weights, full
+    production shapes (reference: exps/stage3_root2/test.py:190-212 with
+    INPUT_SHAPE=(512,832), data_settings.py:39-41).
+    """
+    torch, torch_model = _load_reference_torch_full()
+
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import ModelConfig
+    from smap_tpu.models.smap import SMAP
+    from smap_tpu.models.torch_convert import convert_smap_state_dict
+
+    variables = jax.tree.map(
+        jnp.asarray, convert_smap_state_dict(torch_model.state_dict()))
+
+    rng = np.random.RandomState(1)
+    img = rng.randn(1, 3, 512, 832).astype(np.float32)
+
+    with torch.no_grad():
+        t2d, t3d, trd = torch_model(torch.from_numpy(img))
+    refs = {"2d": t2d.numpy(), "3d": t3d.numpy(), "rd": trd.numpy()}
+
+    nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    for dtype, tol in (("float32", 5e-4), ("bfloat16", 5e-2)):
+        model = SMAP(ModelConfig(output_shape=(128, 208),
+                                 compute_dtype=dtype))
+        outs = jax.jit(
+            lambda v, x: model.apply(v, x, method=SMAP.infer))(variables,
+                                                               nhwc)
+        for name, got in zip(("2d", "3d", "rd"), outs):
+            a = refs[name]
+            b = np.moveaxis(np.asarray(got, np.float32), -1, 1)
+            scale = max(1.0, np.abs(a).max())
+            err = np.abs(a - b).max() / scale
+            assert err < tol, f"{dtype}/{name}: relative max-abs diff {err}"
+
+
+def _load_reference_torch_full():
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from model.smap import SMAP as TorchSMAP
+
+    class _NS(types.SimpleNamespace):
+        pass
+
+    cfg = _NS()
+    cfg.MODEL = _NS(STAGE_NUM=3, UPSAMPLE_CHANNEL_NUM=256)
+    cfg.DATASET = _NS(KEYPOINT=_NS(NUM=15), PAF=_NS(NUM=14))
+    cfg.OUTPUT_SHAPE = (128, 208)   # production resolution
+    cfg.LOSS = _NS(OHKM=True, TOPK=8, COARSE_TO_FINE=True)
+    model = TorchSMAP(cfg)
+    model.eval()
+    return torch, model
+
+
+@pytest.mark.slow
 def test_converter_roundtrip_shapes():
     """Converter produces a tree that apply() accepts (no torch needed)."""
     import jax
