@@ -149,12 +149,20 @@ class PostProcessConfig:
     # (bodyPartConnectorBase.cu:19); we use a fixed count that is a multiple of
     # the VPU lane width's friendly sizes. 25 covers the reference's maximum.
     num_line_samples: int = 25
+    # PAF map-sampling implementation: "auto" | "gather" | "onehot"
+    # (smap_tpu.ops.paf). "auto" picks the MXU one-hot-matmul path on TPU
+    # backends (scalar gathers serialize there) and the direct gather on CPU.
+    paf_impl: str = "auto"
     # Depth read-out along limbs (reference: exps/stage3_root2/test_util.py:60).
     num_depth_samples: int = 10
     # Association.
     max_people: int = 20
     ds_scale: float = float(STRIDE)
     bone_factor: float = 1.2
+    # Greedy-loop implementation: "auto" | "scan" | "pallas"
+    # (smap_tpu.ops.association). "auto" = pallas VMEM kernel on TPU
+    # backends, lax.scan on CPU.
+    assoc_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,16 +53,28 @@ def _limb_order(num_limbs: int) -> Tuple[int, ...]:
     return tuple(order)
 
 
+def _resolve_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    # The lax.scan greedy pays ~50 us of sequential-op overhead per tiny
+    # step on TPU backends (14 limbs x K steps ~ 28 ms/batch-16); the
+    # pallas kernel runs the same loop in VMEM. CPU keeps the scan
+    # (pallas interpret mode would be far slower).
+    return "scan" if jax.default_backend() == "cpu" else "pallas"
+
+
 def associate(peaks: Peaks, paf_score_table: jnp.ndarray,
               root_depth_map: jnp.ndarray, *, root_idx: int = 2,
               dist_flag: bool = True, ds_scale: float = 4.0,
-              bone_factor: float = 1.2) -> Bodies:
+              bone_factor: float = 1.2, impl: str = "auto") -> Bodies:
     """Greedy depth-aware association.
 
     Args:
       peaks: Peaks pytree, xy [J, K, 2], score [J, K], count [J].
       paf_score_table: [L, K, K] from smap_tpu.ops.paf.paf_scores.
       root_depth_map: [H, W] normalized root-depth map.
+      impl: greedy-loop implementation, "auto" | "scan" | "pallas"
+        (see _resolve_impl).
 
     Returns:
       Bodies with capacity K; rows >= count are all-zero.
@@ -119,44 +131,60 @@ def associate(peaks: Peaks, paf_score_table: jnp.ndarray,
         remap_src = remap[src_joint]           # frozen before this limb
         dst_slot_valid = jnp.arange(K) < dst_size
 
-        def body(carry, k1):
-            bodies, remap_dst, used = carry
-            src = bodies[k1, src_joint]
-            src_ok = (src[3] >= 1e-5) & person_valid[k1]
+        # Everything except the used-mask is independent of the greedy
+        # order, so precompute the full [K, K] adjusted score matrix and
+        # keep the sequential scan's carry down to one boolean vector (the
+        # [K,15,4] bodies carry made each of the 14*K tiny steps pay a
+        # dynamic-update-slice of the whole table).
+        src = bodies[:, src_joint]             # [K, 4] frozen this limb
+        src_ok = (src[:, 3] >= 1e-5) & person_valid
+        scores_all = table[remap_src]          # [K, K] person-row gather
+        if dist_flag:
+            dx = src[:, 0:1] - dst_xy[None, :, 0]
+            dy = src[:, 1:2] - dst_xy[None, :, 1]
+            limb_dist = jnp.sqrt(dx * dx + dy * dy)          # [K, K]
+            bone_dist = (bone_factor * bone_lengths[limb]
+                         / sorted_depth)[:, None]            # [K, 1]
+            penalty = jnp.minimum(bone_dist / limb_dist / ds_scale - 1.0,
+                                  0.0)
+            scores_all = jnp.where(scores_all > 0, scores_all + penalty,
+                                   scores_all)
+        scores_all = jnp.where(dst_slot_valid[None, :], scores_all, -jnp.inf)
 
-            scores = table[remap_src[k1]]      # [K]
-            if dist_flag:
-                dx = src[0] - dst_xy[:, 0]
-                dy = src[1] - dst_xy[:, 1]
-                limb_dist = jnp.sqrt(dx * dx + dy * dy)
-                bone_dist = bone_factor * bone_lengths[limb] / sorted_depth[k1]
-                penalty = jnp.minimum(
-                    bone_dist / limb_dist / ds_scale - 1.0, 0.0)
-                scores = jnp.where(scores > 0, scores + penalty, scores)
-            scores = jnp.where(used | ~dst_slot_valid, -jnp.inf, scores)
-            # Reference keeps max only when score > maxScore with maxScore
-            # starting at 0 -> winner needs score strictly > 0
-            # (association.cpp:215-220). argmax picks the first maximum,
-            # matching the strict-greater scan order.
-            max_idx = jnp.argmax(scores)
-            max_score = scores[max_idx]
-            take = src_ok & (max_score > 0.0) & (dst_size > 0)
+        # src_ok rows never take (their scores stay <= 0 only if the table
+        # says so), so mask them to -inf up front: the reference skips
+        # persons whose src joint is missing (association.cpp:186-188).
+        scores_all = jnp.where(src_ok[:, None], scores_all, -jnp.inf)
 
-            new_joint = jnp.where(
-                take,
-                jnp.stack([dst_xy[max_idx, 0], dst_xy[max_idx, 1],
-                           jnp.float32(0.0), dst_score[max_idx]]),
-                bodies[k1, dst_joint])
-            bodies = bodies.at[k1, dst_joint].set(new_joint)
-            remap_dst = remap_dst.at[k1].set(
-                jnp.where(take, max_idx.astype(jnp.int32), remap_dst[k1]))
-            used = used.at[max_idx].set(used[max_idx] | take)
-            return (bodies, remap_dst, used), None
+        if _resolve_impl(impl) == "pallas":
+            from smap_tpu.ops.pallas_kernels import associate_limb
 
-        used0 = jnp.zeros((K,), bool)
-        (bodies, remap_dst, _), _ = jax.lax.scan(
-            body, (bodies, remap[dst_joint], used0), jnp.arange(K))
-        remap = remap.at[dst_joint].set(remap_dst)
+            assign = associate_limb(scores_all, dst_slot_valid)
+            take = (assign >= 0) & (dst_size > 0)
+            max_idx = jnp.clip(assign, 0, K - 1)
+        else:
+            def body(used, scores_k1):
+                scores = jnp.where(used, -jnp.inf, scores_k1)
+                # Reference keeps max only when score > maxScore with
+                # maxScore starting at 0 -> winner needs score strictly > 0
+                # (association.cpp:215-220). argmax picks the first
+                # maximum, matching the strict-greater scan order.
+                max_idx = jnp.argmax(scores)
+                take = scores[max_idx] > 0.0
+                used = used | (jnp.arange(K) == max_idx) & take
+                return used, (max_idx, take)
+
+            used0 = jnp.zeros((K,), bool)
+            _, (max_idx, take) = jax.lax.scan(body, used0, scores_all)
+            take = take & (dst_size > 0)
+
+        new_joints = jnp.stack(
+            [dst_xy[max_idx, 0], dst_xy[max_idx, 1],
+             jnp.zeros((K,), jnp.float32), dst_score[max_idx]], axis=-1)
+        bodies = bodies.at[:, dst_joint].set(
+            jnp.where(take[:, None], new_joints, bodies[:, dst_joint]))
+        remap = remap.at[dst_joint].set(
+            jnp.where(take, max_idx.astype(jnp.int32), remap[dst_joint]))
 
     return Bodies(joints=bodies, count=person_num,
                   root_depth=jnp.where(person_valid, sorted_depth, 0.0))

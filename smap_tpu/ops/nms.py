@@ -6,11 +6,12 @@ TPU-native (pure XLA) equivalent of the reference CUDA NMS
 
 * local-max mask   -> shifted-compare reductions (VPU), borders excluded
                       (nmsBase.cu:24,48-49);
-* raster indexing  -> cumulative sum replaces thrust::exclusive_scan
-                      (nmsBase.cu:165-166);
-* peak writing     -> one masked scatter instead of a per-thread write
-                      (nmsBase.cu:84-133), preserving raster order and the
-                      first-``max_peaks`` truncation;
+* raster indexing  -> ``lax.top_k`` over a descending raster key replaces
+                      thrust::exclusive_scan + compaction (nmsBase.cu:165-166):
+                      the K largest keys are exactly the first K masked pixels
+                      in raster order, preserving the reference's
+                      first-``max_peaks`` truncation without any scatter
+                      (TPU scatters serialize; top_k is a fused sort network);
 * sub-pixel refine -> the per-peak 7x7 score-weighted centroid
                       (nmsBase.cu:93-127) is computed for *all* pixels at
                       once with three 7x7 box-filter convolutions, then
@@ -109,19 +110,19 @@ def extract_peaks(heatmaps: jnp.ndarray, *, max_peaks: int = 127,
     refined_x = sum_sx / sum_s + offset
     refined_y = sum_sy / sum_s + offset
 
-    # Raster-order peak index within each channel.
+    # Raster-order top-K selection. Masked pixels get the key HW - raster
+    # (strictly positive, strictly decreasing along the raster); unmasked
+    # pixels get 0. top_k therefore returns the first K masked pixels in
+    # raster order — nmsBase.cu:165-166's scan+compact with no scatter.
     flat_mask = mask.reshape(c, h * w)
-    idx = jnp.cumsum(flat_mask, axis=-1) - 1          # 0-based peak index
-    keep = flat_mask & (idx < max_peaks)
-    slot = jnp.where(keep, idx, max_peaks)            # OOB slots dropped
-
-    def scatter_channel(slot_c, vals_c):
-        out = jnp.zeros((max_peaks,), vals_c.dtype)
-        return out.at[slot_c].set(vals_c, mode="drop")
-
-    scatter = jax.vmap(scatter_channel)
-    px = scatter(slot, refined_x.reshape(c, h * w))
-    py = scatter(slot, refined_y.reshape(c, h * w))
-    ps = scatter(slot, hm.reshape(c, h * w))
+    raster = jnp.arange(h * w, dtype=jnp.int32)
+    key = jnp.where(flat_mask, h * w - raster, 0)
+    _, peak_idx = jax.lax.top_k(key, max_peaks)       # [C, max_peaks]
     count = jnp.minimum(jnp.sum(flat_mask, axis=-1), max_peaks)
+    valid = jnp.arange(max_peaks)[None, :] < count[:, None]
+
+    gather = jax.vmap(lambda vals, i: vals[i])
+    px = jnp.where(valid, gather(refined_x.reshape(c, h * w), peak_idx), 0.0)
+    py = jnp.where(valid, gather(refined_y.reshape(c, h * w), peak_idx), 0.0)
+    ps = jnp.where(valid, gather(hm.reshape(c, h * w), peak_idx), 0.0)
     return Peaks(xy=jnp.stack([px, py], axis=-1), score=ps, count=count)

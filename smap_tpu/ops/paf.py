@@ -14,7 +14,23 @@ TPU-native (pure XLA, fixed-shape) equivalent of the reference CUDA kernel
   peaks are nearly coincident (dist < sqrt(H*W)/150); else -1
   (bodyPartConnectorBase.cu:47-62, thresholds :172-174).
 
-The whole table is one fused gather + VPU reduction; vmappable over batch.
+The whole table is one fused sampling pass + VPU reduction; vmappable over
+batch.
+
+Sampling implementations (``impl``):
+
+* ``"gather"`` — direct scalar gather from the [L, HW] maps. Fast on CPU;
+  on the target TPU runtime XLA lowers it to ~40 ns/element serialized
+  loads (~300 ms/batch-16 measured — the single hottest op in the whole
+  inference pipeline).
+* ``"onehot"`` — re-expresses the lookup as one-hot matmuls on the MXU:
+  rows = onehot(py) @ map (batched over limbs), then a masked reduction
+  with onehot(px). Because every one-hot row has exactly one nonzero,
+  each matmul output element is a single product — no accumulation — so
+  splitting the f32 map into three bf16 terms (hi/mid/lo) and summing the
+  three bf16 matmuls reconstructs the f32 values exactly (~20 ms/batch-16
+  on the same hardware).
+* ``"auto"`` — ``"onehot"`` on TPU-like backends, ``"gather"`` elsewhere.
 """
 
 from __future__ import annotations
@@ -25,11 +41,80 @@ import jax.numpy as jnp
 from smap_tpu.ops.nms import Peaks
 
 
+def _sample_gather(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
+                   px: jnp.ndarray, py: jnp.ndarray, w: int):
+    """Scalar-gather map sampling. paf_*: [L, HW]; px/py: [L, K, K, S]."""
+    L = paf_x.shape[0]
+    K, S = px.shape[1], px.shape[3]
+    flat_idx = (py * w + px).reshape(L, -1)
+    take = jax.vmap(lambda m, i: jnp.take(m, i, axis=0))
+    mx = take(paf_x, flat_idx).reshape(L, K, K, S)
+    my = take(paf_y, flat_idx).reshape(L, K, K, S)
+    return mx, my
+
+
+def _split_bf16x3(m: jnp.ndarray):
+    """Split f32 into three bf16 terms whose f32 sum reconstructs it
+    (8+8+8 mantissa bits >= f32's 24)."""
+    hi = m.astype(jnp.bfloat16)
+    r = m - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _sample_onehot(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
+                   px: jnp.ndarray, py: jnp.ndarray, h: int, w: int):
+    """MXU map sampling: map[py, px] == sum_w (onehot(py) @ map) * onehot(px).
+
+    Exact f32 selection: the one-hot operand is exact in bf16 and each
+    output element is one product, so the bf16x3 map split sums back to the
+    f32 value. The three bf16 parts are stacked along the contracted H axis
+    and the x/y maps along the output W axis, so each sample position costs
+    ONE [K^2, 3H] @ [3H, 2W] matmul per limb (measured ~40% faster than six
+    small matmuls). Scanned over the S sample positions to bound the
+    transient one-hot/row tensors.
+    """
+    L = paf_x.shape[0]
+    K, S = px.shape[1], px.shape[3]
+    P = K * K
+    xh, xm, xl = _split_bf16x3(paf_x.reshape(L, h, w))
+    yh, ym, yl = _split_bf16x3(paf_y.reshape(L, h, w))
+    m3 = jnp.concatenate([
+        jnp.concatenate([xh, yh], axis=-1),
+        jnp.concatenate([xm, ym], axis=-1),
+        jnp.concatenate([xl, yl], axis=-1)], axis=1)       # [L, 3H, 2W]
+    pys = py.reshape(L, P, S)
+    pxs = px.reshape(L, P, S)
+
+    def step(_, s):
+        oy = jax.nn.one_hot(pys[:, :, s], h, dtype=jnp.bfloat16)  # [L,P,H]
+        oy3 = jnp.concatenate([oy, oy, oy], axis=-1)              # [L,P,3H]
+        rows = jnp.einsum("lph,lhw->lpw", oy3, m3,
+                          preferred_element_type=jnp.float32)     # [L,P,2W]
+        ox = jax.nn.one_hot(pxs[:, :, s], w, dtype=jnp.float32)   # [L,P,W]
+        return _, (jnp.sum(rows[..., :w] * ox, axis=-1),
+                   jnp.sum(rows[..., w:] * ox, axis=-1))
+
+    _, (mxs, mys) = jax.lax.scan(step, 0, jnp.arange(S))
+    mx = jnp.moveaxis(mxs, 0, -1).reshape(L, K, K, S)
+    my = jnp.moveaxis(mys, 0, -1).reshape(L, K, K, S)
+    return mx, my
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    # The scalar-gather path serializes on TPU backends; anything that is
+    # not the CPU backend gets the MXU path.
+    return "gather" if jax.default_backend() == "cpu" else "onehot"
+
+
 def paf_scores(pafs: jnp.ndarray, peaks: Peaks, limb_pairs: jnp.ndarray, *,
                inter_threshold: float = 0.05,
                inter_min_above: float = 0.95,
                default_threshold: float = 0.1,
-               num_samples: int = 25) -> jnp.ndarray:
+               num_samples: int = 25, impl: str = "auto") -> jnp.ndarray:
     """Compute PAF pair scores.
 
     Args:
@@ -69,13 +154,13 @@ def paf_scores(pafs: jnp.ndarray, peaks: Peaks, limb_pairs: jnp.ndarray, *,
     py = jnp.minimum(jnp.floor(pos[..., 1] + 0.5), h - 1).astype(jnp.int32)
     px = jnp.maximum(px, 0)
     py = jnp.maximum(py, 0)
-    flat_idx = py * w + px                                 # [L, K, K, S]
 
     paf_x = pafs[0::2].reshape(L, h * w)                   # [L, HW]
     paf_y = pafs[1::2].reshape(L, h * w)
-    take = jax.vmap(lambda m, i: jnp.take(m, i, axis=0))
-    mx = take(paf_x, flat_idx.reshape(L, -1)).reshape(L, K, K, num_samples)
-    my = take(paf_y, flat_idx.reshape(L, -1)).reshape(L, K, K, num_samples)
+    if _resolve_impl(impl) == "onehot":
+        mx, my = _sample_onehot(paf_x, paf_y, px, py, h, w)
+    else:
+        mx, my = _sample_gather(paf_x, paf_y, px, py, w)
 
     sample_score = unit[..., 0:1] * mx + unit[..., 1:2] * my  # [L,K,K,S]
     active = lm[None, None, None, :] < n_pts[..., None]

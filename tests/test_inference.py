@@ -153,6 +153,39 @@ def test_inference_smoke(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_uint8_input_matches_host_normalized(rng):
+    """Feeding letterboxed uint8 (device-side normalize, the serving path)
+    must match host-side normalize_image + f32 feed."""
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.data.preprocess import normalize_image
+    from smap_tpu.inference import SMAPInference
+
+    cfg = Config(model=ModelConfig(stage_num=1, output_shape=(16, 32),
+                                   compute_dtype="float32"),
+                 post=PostProcessConfig(max_peaks=15),
+                 input_shape=(64, 128), output_shape=(16, 32))
+    from smap_tpu.models.smap import SMAP
+
+    model = SMAP(cfg.model)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 128, 3), jnp.float32))
+    engine = SMAPInference(variables, cfg)
+
+    u8 = (rng.rand(2, 64, 128, 3) * 255).astype(np.uint8)
+    f32 = np.stack([normalize_image(im) for im in u8])
+    maps_u8 = engine._jit_forward(variables, jnp.asarray(u8))
+    maps_f32 = engine._jit_forward(variables, jnp.asarray(f32))
+    # Host and device normalize differ by ~1 ulp on the inputs; map outputs
+    # scale with the x255/x127 label encoding, so allow amplified fp noise.
+    for a, b in zip(maps_u8, maps_f32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=0)
+
+
+@pytest.mark.slow
 def test_inference_flip_and_refine(rng):
     """Engine with flip-TTA and RefineNet lifting enabled."""
     import jax
@@ -293,11 +326,15 @@ def test_overflow_fallback_matches_full_capacity():
 
     wide = postprocess_batch(*maps, info,
                              PostProcessConfig(max_peaks=127,
-                                               assoc_peaks=127))
+                                               assoc_peaks=127),
+                             net_w=float(W * 4), net_h=float(H * 4))
     assert not bool(np.asarray(res.overflow)[0])
+    # jit-fused vs op-by-op execution reassociates float math (back-project
+    # fma differences ~1e-5 rel); the gate is identical association
+    # decisions and coordinates equal to fp noise.
     np.testing.assert_allclose(np.asarray(res.bodies_3d),
-                               np.asarray(wide.bodies_3d), rtol=1e-6,
-                               atol=1e-6)
+                               np.asarray(wide.bodies_3d), rtol=1e-4,
+                               atol=1e-3)
     assert int(np.asarray(res.count)[0]) == int(np.asarray(wide.count)[0])
 
     # Without the fallback the truncated result must carry the flag.

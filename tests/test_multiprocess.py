@@ -27,13 +27,19 @@ import numpy as np
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 
+# The axon sitecustomize imports jax and pins its platform before env vars
+# are consulted; JAX_PLATFORMS in the environment is NOT enough (same
+# landmine as tests/conftest.py). Force the CPU backend through the config
+# API before any backend/distributed initialization.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 from smap_tpu.parallel.distributed import (all_gather_objects,
                                            initialize_distributed,
                                            is_main_process)
 
 initialize_distributed(f"localhost:{{port}}", nproc, pid)
-
-import jax
 
 assert jax.process_count() == nproc, jax.process_count()
 assert jax.device_count() == 2 * nproc, jax.device_count()

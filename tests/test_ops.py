@@ -113,6 +113,25 @@ class TestPafScores:
         np.testing.assert_allclose(np.asarray(table), ref_table,
                                    atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_onehot_impl_matches_gather(self, seed):
+        """The MXU one-hot sampling path (TPU default) must reproduce the
+        scalar-gather path exactly: the bf16x3 map split reconstructs f32
+        and one-hot selection has no accumulation (smap_tpu/ops/paf.py)."""
+        import jax.numpy as jnp
+        from smap_tpu.config import PAF_VECTOR
+        from smap_tpu.ops.nms import extract_peaks
+        from smap_tpu.ops.paf import paf_scores
+
+        rng = np.random.RandomState(seed)
+        hm, pafs, _, _, _ = _synthetic_heatmaps(rng)
+        peaks = extract_peaks(jnp.asarray(hm), max_peaks=31)
+        pairs = jnp.asarray(PAF_VECTOR, jnp.int32)
+        t_gather = paf_scores(jnp.asarray(pafs), peaks, pairs, impl="gather")
+        t_onehot = paf_scores(jnp.asarray(pafs), peaks, pairs, impl="onehot")
+        np.testing.assert_allclose(np.asarray(t_onehot), np.asarray(t_gather),
+                                   atol=1e-6, rtol=0)
+
 
 class TestAssociation:
     @pytest.mark.parametrize("seed", [0, 1, 2])

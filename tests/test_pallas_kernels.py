@@ -1,73 +1,91 @@
-"""Pallas kernels vs. the XLA reference implementations (interpret mode)."""
+"""Pallas association kernel vs. the XLA scan implementation.
+
+Interpret mode on CPU here; the compiled Mosaic lowering is exercised on
+real TPU by scripts/probes/_pallas_compile_probe.py (verified in round 2:
+compiles, matches interpret mode and the numpy greedy oracle).
+"""
 
 import numpy as np
 import pytest
 
-from test_ops import _synthetic_heatmaps
+
+def _greedy_oracle(scores, dst_valid):
+    """Sequential nearest-first greedy (association.cpp:181-230 semantics
+    on an already penalty-adjusted score matrix)."""
+    K = scores.shape[0]
+    used = np.zeros(K, bool)
+    want = np.full(K, -1, np.int64)
+    for k1 in range(K):
+        s = scores[k1].copy()
+        s[used] = -np.inf
+        s[~dst_valid] = -np.inf
+        best = int(np.argmax(s))
+        if s[best] > 0:
+            want[k1] = best
+            used[best] = True
+    return want
 
 
-def test_nms_fields_matches_xla(rng):
-    import jax.numpy as jnp
-
-    from smap_tpu.ops.nms import _box_filter_7x7, _local_max_mask
-    from smap_tpu.ops.pallas_kernels import nms_fields
-
-    hm, _, _, _, _ = _synthetic_heatmaps(rng, h=64, w=128)
-    mask, s, sx, sy = nms_fields(jnp.asarray(hm), interpret=True)
-
-    ref_mask = _local_max_mask(jnp.asarray(hm), 0.2)
-    np.testing.assert_array_equal(np.asarray(mask) > 0, np.asarray(ref_mask))
-
-    s_pos = jnp.where(jnp.asarray(hm) > 0, jnp.asarray(hm), 0.0)
-    xs = jnp.arange(128, dtype=jnp.float32)[None, None, :]
-    ys = jnp.arange(64, dtype=jnp.float32)[None, :, None]
-    np.testing.assert_allclose(np.asarray(s),
-                               np.asarray(_box_filter_7x7(s_pos)),
-                               rtol=1e-5, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(sx),
-                               np.asarray(_box_filter_7x7(s_pos * xs)),
-                               rtol=1e-5, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(sy),
-                               np.asarray(_box_filter_7x7(s_pos * ys)),
-                               rtol=1e-5, atol=1e-3)
-
-
-def test_associate_limb_matches_greedy(rng):
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_associate_limb_matches_greedy(seed):
     import jax.numpy as jnp
 
     from smap_tpu.ops.pallas_kernels import associate_limb
 
-    K = 16
-    table = rng.randn(K, K).astype(np.float32)
-    src_xy = rng.rand(K, 2).astype(np.float32) * 50
-    dst_xy = rng.rand(K, 2).astype(np.float32) * 50
-    src_score = (rng.rand(K) > 0.3).astype(np.float32)
-    bone_dist = rng.rand(K).astype(np.float32) * 20 + 5
-    person_valid = np.arange(K) < 10
-    dst_valid = np.arange(K) < 12
+    rng = np.random.RandomState(seed)
+    K = 40
+    scores = (rng.rand(K, K).astype(np.float32) * 2 - 1)
+    scores[rng.rand(K) < 0.3] = -np.inf       # invalid persons
+    dst_valid = np.arange(K) < rng.randint(1, K)
 
-    got = np.asarray(associate_limb(
-        jnp.asarray(table), jnp.asarray(src_xy), jnp.asarray(src_score),
-        jnp.asarray(dst_xy), jnp.asarray(bone_dist),
-        jnp.asarray(person_valid), jnp.asarray(dst_valid), interpret=True))
+    got = np.asarray(associate_limb(jnp.asarray(scores),
+                                    jnp.asarray(dst_valid), interpret=True))
+    np.testing.assert_array_equal(got, _greedy_oracle(scores, dst_valid))
 
-    # python greedy oracle
-    used = np.zeros(K, bool)
-    want = np.full(K, -1)
-    for k1 in range(K):
-        if not person_valid[k1] or src_score[k1] < 1e-5:
-            continue
-        best, best_idx = 0.0, -1
-        for k2 in range(K):
-            if used[k2] or not dst_valid[k2]:
-                continue
-            s = table[k1, k2]
-            if s > 0:
-                d = np.linalg.norm(src_xy[k1] - dst_xy[k2])
-                s += min(bone_dist[k1] / d / 4.0 - 1.0, 0.0)
-            if s > best:
-                best, best_idx = s, k2
-        if best > 0:
-            want[k1] = best_idx
-            used[best_idx] = True
-    np.testing.assert_array_equal(got, want)
+
+def test_associate_impl_parity(rng):
+    """associate(impl='pallas', interpret via CPU) == associate(impl='scan')
+    end to end on random peak tables."""
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import PAF_VECTOR
+    from smap_tpu.ops.association import associate
+    from smap_tpu.ops.nms import extract_peaks
+    from smap_tpu.ops.paf import paf_scores
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode parity gate runs on CPU")
+
+    # monkeypatch-free: drive the pallas path in interpret mode by calling
+    # the kernel wrapper directly through associate's impl knob is not
+    # possible on CPU (compiled pallas requires TPU), so compare the
+    # kernel (interpret) against the scan inside associate via the shared
+    # score-matrix contract instead.
+    from smap_tpu.ops import association as assoc_mod
+    from smap_tpu.ops import pallas_kernels
+
+    orig = pallas_kernels.associate_limb
+    calls = []
+
+    def interp_kernel(scores_all, dst_slot_valid, **kw):
+        calls.append(1)
+        return orig(scores_all, dst_slot_valid, interpret=True)
+
+    pairs = jnp.asarray(PAF_VECTOR, jnp.int32)
+    hm = rng.rand(15, 32, 48).astype(np.float32)
+    pafs = (rng.rand(28, 32, 48).astype(np.float32) - 0.5) * 2
+    rdm = (rng.rand(32, 48) * 5).astype(np.float32)
+    peaks = extract_peaks(jnp.asarray(hm), max_peaks=31)
+    table = paf_scores(jnp.asarray(pafs), peaks, pairs)
+
+    ref = associate(peaks, table, jnp.asarray(rdm), impl="scan")
+    pallas_kernels.associate_limb = interp_kernel
+    try:
+        got = associate(peaks, table, jnp.asarray(rdm), impl="pallas")
+    finally:
+        pallas_kernels.associate_limb = orig
+    assert calls, "pallas path not exercised"
+    np.testing.assert_array_equal(np.asarray(ref.joints),
+                                  np.asarray(got.joints))
+    assert int(ref.count) == int(got.count)
