@@ -53,6 +53,27 @@ def _limb_order(num_limbs: int) -> Tuple[int, ...]:
     return tuple(order)
 
 
+def _select_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for a traced index vector without a gather.
+
+    Scalar gathers serialize at ~40 ns/element on the target TPU backend
+    (docs/perf_notes.md); a one-hot masked sum is a dense VPU reduction and
+    exact (each output element has a single nonzero contribution).
+
+    Args:
+      table: [K, ...] source rows.
+      idx: [P] int32 row indices (must be in range).
+
+    Returns:
+      [P, ...] selected rows.
+    """
+    K = table.shape[0]
+    onehot = idx[:, None] == jnp.arange(K)[None, :]            # [P, K]
+    extra = (1,) * (table.ndim - 1)
+    mask = onehot.reshape(onehot.shape + extra)                # [P, K, 1...]
+    return jnp.sum(jnp.where(mask, table[None], 0), axis=1)
+
+
 def _resolve_impl(impl: str) -> str:
     if impl != "auto":
         return impl
@@ -138,7 +159,7 @@ def associate(peaks: Peaks, paf_score_table: jnp.ndarray,
         # dynamic-update-slice of the whole table).
         src = bodies[:, src_joint]             # [K, 4] frozen this limb
         src_ok = (src[:, 3] >= 1e-5) & person_valid
-        scores_all = table[remap_src]          # [K, K] person-row gather
+        scores_all = _select_rows(table, remap_src)   # [K, K] person rows
         if dist_flag:
             dx = src[:, 0:1] - dst_xy[None, :, 0]
             dy = src[:, 1:2] - dst_xy[None, :, 1]
@@ -178,9 +199,11 @@ def associate(peaks: Peaks, paf_score_table: jnp.ndarray,
             _, (max_idx, take) = jax.lax.scan(body, used0, scores_all)
             take = take & (dst_size > 0)
 
+        picked = _select_rows(
+            jnp.concatenate([dst_xy, dst_score[:, None]], axis=-1), max_idx)
         new_joints = jnp.stack(
-            [dst_xy[max_idx, 0], dst_xy[max_idx, 1],
-             jnp.zeros((K,), jnp.float32), dst_score[max_idx]], axis=-1)
+            [picked[:, 0], picked[:, 1],
+             jnp.zeros((K,), jnp.float32), picked[:, 2]], axis=-1)
         bodies = bodies.at[:, dst_joint].set(
             jnp.where(take[:, None], new_joints, bodies[:, dst_joint]))
         remap = remap.at[dst_joint].set(
