@@ -133,19 +133,26 @@ def main() -> None:
         engine.run_batch_timed = run_timed
 
     rng = np.random.RandomState(0)
-    # Letterboxed uint8 frames (what a decoded JPEG feed produces):
-    # normalization runs on device inside the forward jit, so each batch
-    # moves 16 MB over the host->device link instead of 65 MB — the link
-    # (~40 MB/s on this tunneled runtime for distinct buffers), not
-    # compute, bounds the pipeline. Distinct per-iteration inputs: the
-    # serving runtime has been observed returning near-instant results for
-    # repeated identical (program, input) pairs, which would make a
-    # same-input loop dishonest.
-    streams = [rng.randint(0, 256, (BATCH, *cfg.input_shape, 3), np.uint8)
-               for _ in range(N_STREAMS)]
+    # Letterboxed planar I420 frames (the video wire format: H.264/JPEG
+    # decoders natively emit YUV 4:2:0): chroma upsample + BT.601->BGR +
+    # normalization all run on device inside the forward jit, so each
+    # batch moves 10 MB over the host->device link instead of 65 MB f32 /
+    # 20 MB RGB — the link (~40 MB/s on this tunneled runtime for distinct
+    # buffers), not compute, bounds the pipeline. Distinct per-iteration
+    # inputs: the serving runtime has been observed returning near-instant
+    # results for repeated identical (program, input) pairs, which would
+    # make a same-input loop dishonest.
+    from smap_tpu.data.preprocess import bgr_to_i420
+    frames = rng.randint(0, 256, (N_STREAMS, BATCH, *cfg.input_shape, 3),
+                         np.uint8)
+    streams = [np.stack([bgr_to_i420(f) for f in batch])
+               for batch in frames]
     scales = [{"scale": 0.433, "img_width": 1920.0, "img_height": 1080.0,
                "f_x": 1500.0, "f_y": 1500.0, "cx": 960.0, "cy": 540.0}
               for _ in range(BATCH)]
+    # Fixed camera metadata: build the device-resident ScaleInfo once so the
+    # pipelined loop moves only the image bytes.
+    scales = jax.tree.map(jnp.asarray, engine._make_scale_info(scales))
 
     for _ in range(WARMUP):
         res, _ = engine.run_batch_timed(streams[-1], scales)
@@ -223,6 +230,7 @@ def _make_record(imgs_per_sec, model_ms, post_ms, calibration_s, iters):
         "calibration_ms": round(calibration_s * 1e3, 1),
         "batch": BATCH,
         "iters": iters,
+        "input": "i420",
     }
 
 

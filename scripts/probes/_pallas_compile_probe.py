@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smap_tpu.ops.pallas_kernels import associate_limb, nms_fields
+from smap_tpu.ops.pallas_kernels import associate_limb
 
 print("backend:", jax.default_backend(), flush=True)
 
@@ -43,16 +43,3 @@ try:
 except Exception as e:
     print("associate_limb FAILED:", type(e).__name__, str(e)[:2000],
           flush=True)
-
-hm = jnp.asarray(rng.rand(15, 128, 208).astype(np.float32))
-try:
-    out = jax.block_until_ready(jax.jit(lambda x: nms_fields(x))(hm))
-    print("nms_fields compiled OK", flush=True)
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.jit(lambda x: nms_fields(x))(hm))
-        ts.append(time.perf_counter() - t0)
-    print(f"nms_fields: {np.median(ts)*1e3:.2f} ms", flush=True)
-except Exception as e:
-    print("nms_fields FAILED:", type(e).__name__, str(e)[:2000], flush=True)

@@ -62,6 +62,15 @@ def main() -> None:
                         help="image root for generate_* modes")
     parser.add_argument("--json_name", default="")
     parser.add_argument("--output-dir", default="model_logs/stage3_root2/result")
+    parser.add_argument("--adaptive-capacities", default="",
+                        help="comma-separated peak-capacity ladder for "
+                        "run_inference, e.g. 8,16,40: post-processing runs "
+                        "at the smallest compiled capacity that fits each "
+                        "batch's peak counts (cost is quadratic in "
+                        "capacity), escalating to 127 on crowds")
+    parser.add_argument("--profile-dir", default="",
+                        help="capture an xprof device trace of the run "
+                        "(TensorBoard profile plugin / Perfetto)")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: initialize jax.distributed, shard "
                         "the eval set per process and all-gather the results")
@@ -100,11 +109,17 @@ def main() -> None:
         args.output_dir,
         f"stage3_root2_{args.test_mode}_{args.data_mode}{suffix}.json")
 
+    from smap_tpu.utils.profiling import trace
+
+    ladder = (tuple(int(c) for c in args.adaptive_capacities.split(","))
+              if args.adaptive_capacities else None)
     if args.test_mode == "run_inference":
-        run_inference(args.dataset_path, variables, cfg,
-                      refine_variables=refine_variables,
-                      do_flip=bool(args.do_flip),
-                      batch_size=args.batch_size, output_json=out_json)
+        with trace(args.profile_dir):
+            run_inference(args.dataset_path, variables, cfg,
+                          refine_variables=refine_variables,
+                          do_flip=bool(args.do_flip),
+                          batch_size=args.batch_size, output_json=out_json,
+                          adaptive_capacities=ladder)
         print(f"results written to {out_json}")
         return
 
@@ -123,11 +138,12 @@ def main() -> None:
     # (reference: lib/utils/dataloader.py:79-85 + comm.py:47-87).
     import jax
 
-    result = run_labeled_inference(ds, engine, mode=args.test_mode,
-                                   batch_size=args.batch_size,
-                                   shard=jax.process_index(),
-                                   num_shards=jax.process_count(),
-                                   gather=jax.process_count() > 1)
+    with trace(args.profile_dir):
+        result = run_labeled_inference(ds, engine, mode=args.test_mode,
+                                       batch_size=args.batch_size,
+                                       shard=jax.process_index(),
+                                       num_shards=jax.process_count(),
+                                       gather=jax.process_count() > 1)
     from smap_tpu.parallel.distributed import is_main_process
 
     if is_main_process():

@@ -59,6 +59,50 @@ def normalize_image(img_bgr_u8: np.ndarray) -> np.ndarray:
     return (img_bgr_u8.astype(np.float32) / 255.0 - means) / stds
 
 
+def bgr_to_i420(img_bgr_u8: np.ndarray) -> np.ndarray:
+    """[H, W, 3] uint8 BGR -> packed planar I420 [3H/2, W] uint8 (cv2).
+
+    The serving wire format: video decoders (H.264/JPEG) natively produce
+    YUV 4:2:0, so shipping I420 to the device moves 1.5 bytes/pixel
+    instead of 3 — the host->device link, not compute, bounds the serving
+    pipeline (docs/perf_notes.md). H and W must be even.
+    """
+    import cv2
+
+    return cv2.cvtColor(img_bgr_u8, cv2.COLOR_BGR2YUV_I420)
+
+
+def i420_to_bgr(packed_u8):
+    """Device-side packed I420 [..., 3H/2, W] uint8 -> [..., H, W, 3] f32 BGR.
+
+    Matches cv2.cvtColor(COLOR_YUV2BGR_I420) — ITU-R BT.601 studio-swing
+    coefficients with nearest (2x2 replicate) chroma upsampling — within
+    +-1 of the uint8 result (we keep float precision; cv2 rounds).
+    Everything is dense VPU work that XLA fuses into the consumer.
+    """
+    import jax.numpy as jnp
+
+    h3, w = packed_u8.shape[-2], packed_u8.shape[-1]
+    h = h3 * 2 // 3
+    lead = packed_u8.shape[:-2]
+    y = packed_u8[..., :h, :].astype(jnp.float32)
+    u = packed_u8[..., h:h + h // 4, :].reshape(*lead, h // 2, w // 2)
+    v = packed_u8[..., h + h // 4:, :].reshape(*lead, h // 2, w // 2)
+
+    def up2(c):
+        c = c.astype(jnp.float32)
+        c = jnp.repeat(c, 2, axis=-2)
+        return jnp.repeat(c, 2, axis=-1)
+
+    ud = up2(u) - 128.0
+    vd = up2(v) - 128.0
+    yd = 1.164 * (y - 16.0)
+    r = yd + 1.596 * vd
+    g = yd - 0.391 * ud - 0.813 * vd
+    b = yd + 2.018 * ud
+    return jnp.clip(jnp.stack([b, g, r], axis=-1), 0.0, 255.0)
+
+
 def device_letterbox_normalize(img_bgr_u8, src_hw: Tuple[int, int],
                                net_hw: Tuple[int, int] = INPUT_SHAPE):
     """Fused on-device letterbox + normalize (static source shape).

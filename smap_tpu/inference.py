@@ -51,20 +51,53 @@ class SMAPInference:
         (extensions/association.cpp:20) so crowded scenes never silently
         diverge. The wide program compiles lazily on first overflow.
         Requires the split pipeline (``fused=False``).
+      adaptive_capacities: optional ascending peak capacities, e.g.
+        ``(8, 16, 40)``. Post-processing cost is quadratic in the peak
+        capacity (the PAF score table is [L, K, K]), but XLA programs are
+        static-shape, so dynamic peak counts are served by a LADDER of
+        compiled programs: a cheap dense count of the batch's NMS peaks
+        picks the smallest capacity that fits (escalating to the full
+        ``max_peaks`` program above the top rung). Results are identical
+        to the full-capacity program at every rung — truncation is
+        neutral while counts fit (tests/test_inference.py). Typical
+        scenes (<= 8 peaks/joint) skip ~25x of the capacity-40 PAF
+        sampling FLOPs. Each rung compiles lazily on first use. Requires
+        the split pipeline; mutually exclusive with overflow_fallback
+        (the ladder already escalates).
     """
 
     def __init__(self, variables, cfg: Config = Config(),
                  refine_variables=None, do_flip: bool = False,
-                 fused: bool = False, overflow_fallback: bool = False):
-        if fused and overflow_fallback:
-            raise ValueError("overflow_fallback requires the split "
-                             "(fused=False) pipeline")
+                 fused: bool = False, overflow_fallback: bool = False,
+                 adaptive_capacities=None):
+        if fused and (overflow_fallback or adaptive_capacities):
+            raise ValueError("overflow_fallback/adaptive_capacities require "
+                             "the split (fused=False) pipeline")
+        if overflow_fallback and adaptive_capacities:
+            raise ValueError("adaptive_capacities already escalates; don't "
+                             "combine it with overflow_fallback")
         self.cfg = cfg
         self.variables = variables
         self.refine_variables = refine_variables
         self.do_flip = do_flip
         self.fused = fused
         self.overflow_fallback = overflow_fallback
+        self.adaptive_capacities = (tuple(sorted(adaptive_capacities))
+                                    if adaptive_capacities else None)
+        if self.adaptive_capacities:
+            if self.adaptive_capacities[-1] > cfg.post.max_peaks:
+                raise ValueError("adaptive capacity exceeds max_peaks")
+
+            def smap_inference_peak_counts(out2d):
+                from smap_tpu.ops.nms import _local_max_mask
+
+                kpt = jnp.moveaxis(out2d.astype(jnp.float32), -1, 1)
+                kpt = kpt[:, :NUM_JOINTS] / 255.0          # [B, J, H, W]
+                mask = _local_max_mask(kpt, cfg.post.nms_threshold)
+                counts = jnp.sum(mask, axis=(-2, -1))      # [B, J]
+                return jnp.minimum(jnp.max(counts), cfg.post.max_peaks)
+
+            self._jit_counts = jax.jit(smap_inference_peak_counts)
         self.model = SMAP(cfg.model)
         self.refine_model = RefineNet(cfg.refine)
 
@@ -90,10 +123,20 @@ class SMAPInference:
             # reuse their buffers inside the post-processing program.
             self._jit_post = jax.jit(smap_inference_postprocess,
                                      donate_argnums=(1, 2, 3))
-        self._jit_post_wide = None   # lazy full-capacity fallback program
+        self._post_cache = {}   # capacity -> lazily-jitted post program
 
     def _forward(self, variables, images: jnp.ndarray):
-        if images.dtype == jnp.uint8:
+        if images.ndim == 3:
+            # Packed planar I420 [B, 3H/2, W] uint8 — the video-serving wire
+            # format (decoders natively emit YUV 4:2:0). Chroma upsample +
+            # BT.601 conversion run on device (data.preprocess.i420_to_bgr);
+            # 1.5 bytes/pixel over the link instead of 3.
+            from smap_tpu.data.preprocess import i420_to_bgr
+
+            means = jnp.asarray(PIXEL_MEANS_BGR, jnp.float32)
+            stds = jnp.asarray(PIXEL_STDS_BGR, jnp.float32)
+            images = (i420_to_bgr(images) / 255.0 - means) / stds
+        elif images.dtype == jnp.uint8:
             # Device-side normalization: serving feeds letterboxed uint8
             # frames (4x less host->device traffic than normalized f32 —
             # the transfer link, not compute, bounds this pipeline) and the
@@ -127,8 +170,12 @@ class SMAPInference:
             results = results._replace(bodies_3d=refined)
         return results
 
-    def _make_scale_info(self, scales: Sequence[Dict[str, float]]
-                         ) -> ScaleInfo:
+    def _make_scale_info(self, scales) -> ScaleInfo:
+        if isinstance(scales, ScaleInfo):
+            # Pre-built (device-resident) metadata: serving loops with fixed
+            # camera intrinsics skip 7 tiny host->device transfers per batch
+            # (each pays the tunnel's serialized-dispatch latency).
+            return scales
         return ScaleInfo(
             scale=jnp.asarray([s["scale"] for s in scales], jnp.float32),
             img_w=jnp.asarray([s["img_width"] for s in scales], jnp.float32),
@@ -138,21 +185,24 @@ class SMAPInference:
             cx=jnp.asarray([s["cx"] for s in scales], jnp.float32),
             cy=jnp.asarray([s["cy"] for s in scales], jnp.float32))
 
-    def _postprocess_wide(self, refine_variables, maps, info) -> PoseResults:
-        """Full-capacity (assoc_peaks = max_peaks) post-processing."""
+    def _post_program(self, capacity: int):
+        """Post-processing program at peak capacity ``capacity`` (lazy)."""
         import dataclasses
 
-        if self._jit_post_wide is None:
-            wide_cfg = dataclasses.replace(
-                self.cfg.post, assoc_peaks=self.cfg.post.max_peaks)
+        if capacity == self.cfg.post.assoc_peaks:
+            return self._jit_post
+        if capacity not in self._post_cache:
+            cap_cfg = dataclasses.replace(self.cfg.post,
+                                          assoc_peaks=capacity)
 
-            def smap_inference_postprocess_wide(refine_variables, out2d,
-                                                out3d, outrd, scale):
+            def smap_inference_postprocess_cap(refine_variables, out2d,
+                                               out3d, outrd, scale):
                 return self._postprocess(refine_variables, out2d, out3d,
-                                         outrd, scale, wide_cfg)
+                                         outrd, scale, cap_cfg)
 
-            self._jit_post_wide = jax.jit(smap_inference_postprocess_wide)
-        return self._jit_post_wide(refine_variables, *maps, info)
+            self._post_cache[capacity] = jax.jit(
+                smap_inference_postprocess_cap, donate_argnums=(1, 2, 3))
+        return self._post_cache[capacity]
 
     def run_batch(self, images: np.ndarray, scales: Sequence[Dict[str, float]]
                   ) -> PoseResults:
@@ -162,7 +212,10 @@ class SMAPInference:
           images: [B, H, W, 3] — either normalized float32
             (data.preprocess.normalize_image) or letterboxed uint8, which
             is normalized on device inside the forward program (preferred
-            for serving: 4x less host->device transfer).
+            for serving: 4x less host->device transfer) — or packed planar
+            I420 [B, 3H/2, W] uint8 (data.preprocess.bgr_to_i420), the
+            video wire format, converted + normalized on device (8x less
+            transfer than f32).
           scales: per-image scale dicts.
         """
         info = self._make_scale_info(scales)
@@ -170,14 +223,22 @@ class SMAPInference:
             return self._jit_fused(self.variables, self.refine_variables,
                                    jnp.asarray(images), info)
         maps = self._jit_forward(self.variables, jnp.asarray(images))
+        if self.adaptive_capacities:
+            # Capacity ladder: one cheap dense count pass picks the
+            # smallest compiled program that fits this batch's peaks.
+            n = int(self._jit_counts(maps[0]))
+            cap = next((c for c in self.adaptive_capacities if c >= n),
+                       self.cfg.post.max_peaks)
+            return self._post_program(cap)(self.refine_variables, *maps,
+                                           info)
         if self.overflow_fallback:
             # Keep the maps alive for the potential wide re-run (the fast
             # program donates its inputs).
             results = self._jit_post(self.refine_variables,
                                      *jax.tree.map(jnp.copy, maps), info)
             if bool(jnp.any(results.overflow)):
-                results = self._postprocess_wide(self.refine_variables,
-                                                 maps, info)
+                results = self._post_program(self.cfg.post.max_peaks)(
+                    self.refine_variables, maps[0], maps[1], maps[2], info)
             return results
         return self._jit_post(self.refine_variables, *maps, info)
 
@@ -322,8 +383,8 @@ def run_labeled_inference(dataset, engine: "SMAPInference",
 
 def run_inference(image_dir: str, variables, cfg: Config = Config(),
                   refine_variables=None, do_flip: bool = False,
-                  batch_size: int = 16, output_json: Optional[str] = None
-                  ) -> Dict[str, Any]:
+                  batch_size: int = 16, output_json: Optional[str] = None,
+                  adaptive_capacities=None) -> Dict[str, Any]:
     """Directory-of-images inference (reference 'run_inference' mode).
 
     Globs jpg/png/jpeg recursively (custom_dataset.py:16-18), letterboxes on
@@ -337,7 +398,8 @@ def run_inference(image_dir: str, variables, cfg: Config = Config(),
         paths.extend(glob.glob(os.path.join(image_dir, f"**/*.{ext}"),
                                recursive=True))
     paths.sort()
-    engine = SMAPInference(variables, cfg, refine_variables, do_flip)
+    engine = SMAPInference(variables, cfg, refine_variables, do_flip,
+                           adaptive_capacities=adaptive_capacities)
 
     from smap_tpu.data.preprocess import letterbox_image
 

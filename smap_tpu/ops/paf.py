@@ -102,12 +102,43 @@ def _sample_onehot(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
     return mx, my
 
 
+def _stack_m3(paf_x: jnp.ndarray, paf_y: jnp.ndarray, h: int, w: int
+              ) -> jnp.ndarray:
+    """[L, 3H, 2W] bf16: bf16x3 parts on contracted-H, x|y maps on W."""
+    xh, xm, xl = _split_bf16x3(paf_x.reshape(-1, h, w))
+    yh, ym, yl = _split_bf16x3(paf_y.reshape(-1, h, w))
+    return jnp.concatenate([
+        jnp.concatenate([xh, yh], axis=-1),
+        jnp.concatenate([xm, ym], axis=-1),
+        jnp.concatenate([xl, yl], axis=-1)], axis=1)
+
+
+def _sample_pallas(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
+                   px: jnp.ndarray, py: jnp.ndarray, h: int, w: int):
+    """Fused-VMEM variant of :func:`_sample_onehot` (same math, exact):
+    the one-hot operands and the [P, 2W] matmul rows never reach HBM.
+    See smap_tpu.ops.pallas_kernels.paf_sample."""
+    from smap_tpu.ops.pallas_kernels import paf_sample
+
+    L = paf_x.shape[0]
+    K, S = px.shape[1], px.shape[3]
+    P = K * K
+    m3t = jnp.swapaxes(_stack_m3(paf_x, paf_y, h, w), 1, 2)  # [L, 2W, 3H]
+    # [L, K, K, S] -> [L, S, K*K] (pairs in the lane dimension)
+    pxs = jnp.moveaxis(px.reshape(L, P, S), -1, 1)
+    pys = jnp.moveaxis(py.reshape(L, P, S), -1, 1)
+    vx, vy = paf_sample(m3t, pxs, pys, h=h, w=w)
+    mx = jnp.moveaxis(vx, 1, -1).reshape(L, K, K, S)
+    my = jnp.moveaxis(vy, 1, -1).reshape(L, K, K, S)
+    return mx, my
+
+
 def _resolve_impl(impl: str) -> str:
     if impl != "auto":
         return impl
     # The scalar-gather path serializes on TPU backends; anything that is
-    # not the CPU backend gets the MXU path.
-    return "gather" if jax.default_backend() == "cpu" else "onehot"
+    # not the CPU backend gets the MXU path (fused pallas kernel).
+    return "gather" if jax.default_backend() == "cpu" else "pallas"
 
 
 def paf_scores(pafs: jnp.ndarray, peaks: Peaks, limb_pairs: jnp.ndarray, *,
@@ -157,7 +188,10 @@ def paf_scores(pafs: jnp.ndarray, peaks: Peaks, limb_pairs: jnp.ndarray, *,
 
     paf_x = pafs[0::2].reshape(L, h * w)                   # [L, HW]
     paf_y = pafs[1::2].reshape(L, h * w)
-    if _resolve_impl(impl) == "onehot":
+    resolved = _resolve_impl(impl)
+    if resolved == "pallas":
+        mx, my = _sample_pallas(paf_x, paf_y, px, py, h, w)
+    elif resolved == "onehot":
         mx, my = _sample_onehot(paf_x, paf_y, px, py, h, w)
     else:
         mx, my = _sample_gather(paf_x, paf_y, px, py, w)

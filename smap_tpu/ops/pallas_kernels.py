@@ -27,6 +27,76 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _make_paf_sample_kernel(h: int, w: int, s_total: int, p_total: int,
+                            pair_block: int):
+    def kernel(m3t_ref, px_ref, py_ref, vx_ref, vy_ref):
+        """One limb's full PAF map sampling, pairs in the lane dimension.
+
+        m3t_ref: [1, 2W, 3H] bf16 — transposed stacked map (bf16x3 parts on
+          the contracted 3H axis, x|y map halves on 2W), so each sample
+          position is one MXU matmul [2W, 3H] @ [3H, PB].
+        px_ref/py_ref: [1, S, P] i32 sample pixel coordinates.
+        vx_ref/vy_ref: [1, S, P] f32 exact f32 map values.
+
+        The one-hot operands and the [2W, PB] matmul rows live only in
+        VMEM — the XLA formulation of the same math moves ~1.2 GB of
+        rows/one-hots through HBM per sample step. The sample and
+        pair-chunk loops are static (unrolled), so no dynamic indexing.
+        """
+        m3t = m3t_ref[0]                                     # [2W, 3H]
+        for s in range(s_total):
+            for c0 in range(0, p_total, pair_block):
+                c1 = min(c0 + pair_block, p_total)
+                pyb = py_ref[0, s:s + 1, c0:c1]              # [1, PB]
+                pxb = px_ref[0, s:s + 1, c0:c1]
+                pb = c1 - c0
+                riota = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0)
+                oy = (riota == pyb).astype(jnp.bfloat16)     # [H, PB]
+                oy3 = jnp.concatenate([oy, oy, oy], axis=0)  # [3H, PB]
+                rows = jnp.dot(m3t, oy3,
+                               preferred_element_type=jnp.float32)
+                ciota = jax.lax.broadcasted_iota(jnp.int32, (w, pb), 0)
+                ox = (ciota == pxb).astype(jnp.float32)      # [W, PB]
+                vx_ref[0, s:s + 1, c0:c1] = jnp.sum(
+                    rows[:w] * ox, axis=0, keepdims=True)
+                vy_ref[0, s:s + 1, c0:c1] = jnp.sum(
+                    rows[w:] * ox, axis=0, keepdims=True)
+
+    return kernel
+
+
+def paf_sample(m3t: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, *,
+               h: int, w: int, pair_block: int = 2048,
+               interpret: bool = False):
+    """Fused PAF map sampling for one image.
+
+    Args:
+      m3t: [L, 2W, 3H] bf16 transposed stacked map parts.
+      px, py: [L, S, P] i32 sample coordinates (P = K*K pairs).
+
+    Returns:
+      (vx, vy): [L, S, P] f32 exact map values at the samples.
+    """
+    L, S, P = px.shape
+    out = jax.ShapeDtypeStruct((L, S, P), jnp.float32)
+    coord_spec = pl.BlockSpec((1, S, P), lambda l: (l, 0, 0),
+                              memory_space=pltpu.VMEM)
+    vx, vy = pl.pallas_call(
+        _make_paf_sample_kernel(h, w, S, P, pair_block),
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, 2 * w, 3 * h), lambda l: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            coord_spec,
+            coord_spec,
+        ],
+        out_specs=(coord_spec, coord_spec),
+        out_shape=(out, out),
+        interpret=interpret,
+    )(m3t, px, py)
+    return vx, vy
+
+
 def _associate_limb_kernel(scores_ref, valid_ref, assign_ref, used_ref):
     """Sequential greedy over persons, all in VMEM.
 

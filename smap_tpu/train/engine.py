@@ -85,6 +85,11 @@ class TrainerConfig:
     output_dir: str = "model_logs/smap_tpu"
     log_every: int = 20
     seed: int = 0
+    # When set, capture an xprof/TensorBoard device trace over a short
+    # step window (smap_tpu.utils.profiling.StepWindowProfiler).
+    profile_dir: str = ""
+    profile_first_step: int = 10
+    profile_num_steps: int = 5
 
 
 class Trainer:
@@ -146,11 +151,17 @@ class Trainer:
         max_iter = max_steps or self.scaled_max_iter()
         ckpt_period = self.scaled_checkpoint_period()
 
+        from smap_tpu.utils.profiling import StepWindowProfiler
+
+        profiler = StepWindowProfiler(self.tc.profile_dir,
+                                      self.tc.profile_first_step,
+                                      self.tc.profile_num_steps)
         t0 = time.time()
         for iteration, batch in batch_iter:
             batch = shard_batch(batch, self.mesh)
             state, losses = self.step_fn(state, batch)
             it = iteration + 1
+            profiler.step(it)
             if it % self.tc.log_every == 0 or it == max_iter:
                 losses = jax.device_get(losses)
                 self.metrics.write_scalars(it, losses)
@@ -167,4 +178,5 @@ class Trainer:
                 self.logger.info("checkpoint saved at iteration %d", it)
             if it >= max_iter:
                 break
+        profiler.close()
         return state

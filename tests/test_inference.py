@@ -185,6 +185,68 @@ def test_uint8_input_matches_host_normalized(rng):
                                    atol=2e-2, rtol=0)
 
 
+def test_i420_to_bgr_matches_cv2(rng):
+    """Device I420 -> BGR conversion matches cv2.cvtColor(YUV2BGR_I420)
+    within +-1 uint8 step (float math vs cv2's fixed-point rounding)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from smap_tpu.data.preprocess import bgr_to_i420, i420_to_bgr
+
+    bgr = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+    packed = bgr_to_i420(bgr)
+    assert packed.shape == (96, 96)
+    ref = cv2.cvtColor(packed, cv2.COLOR_YUV2BGR_I420).astype(np.int32)
+    got = np.asarray(jnp.round(i420_to_bgr(jnp.asarray(packed)))
+                     ).astype(np.int32)
+    assert np.abs(got - ref).max() <= 1
+
+
+def test_i420_input_matches_bgr_path(rng):
+    """Feeding packed I420 (the video-serving wire format) must match the
+    uint8-BGR path on the same decoded frames up to the +-1 conversion
+    rounding."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.data.preprocess import bgr_to_i420
+    from smap_tpu.inference import SMAPInference
+
+    cfg = Config(model=ModelConfig(stage_num=1, output_shape=(16, 32),
+                                   compute_dtype="float32"),
+                 post=PostProcessConfig(max_peaks=15),
+                 input_shape=(64, 128), output_shape=(16, 32))
+    from smap_tpu.models.smap import SMAP
+
+    model = SMAP(cfg.model)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 128, 3), jnp.float32))
+    engine = SMAPInference(variables, cfg)
+
+    # Chroma-smooth frames (4:2:0 is exact only for smooth chroma).
+    base = (rng.rand(2, 64, 128, 3) * 255).astype(np.uint8)
+    base = np.stack([cv2.GaussianBlur(im, (7, 7), 3) for im in base])
+    packed = np.stack([bgr_to_i420(im) for im in base])
+    # Reference: the float conversion normalized on host and fed as f32 —
+    # isolates the device path's transfer+fuse exactness. (cv2's own
+    # rounded-uint8 decode differs by up to one quantization step, which a
+    # random-weight conv stack amplifies; cv2-consistency of the conversion
+    # itself is test_i420_to_bgr_matches_cv2.)
+    from smap_tpu.config import PIXEL_MEANS_BGR, PIXEL_STDS_BGR
+    from smap_tpu.data.preprocess import i420_to_bgr
+
+    host_f32 = ((np.asarray(i420_to_bgr(jnp.asarray(packed))) / 255.0
+                 - np.asarray(PIXEL_MEANS_BGR, np.float32))
+                / np.asarray(PIXEL_STDS_BGR, np.float32))
+    maps_i420 = engine._jit_forward(variables, jnp.asarray(packed))
+    maps_f32 = engine._jit_forward(variables, jnp.asarray(host_f32))
+    for a, b in zip(maps_i420, maps_f32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=0)
+
+
 @pytest.mark.slow
 def test_inference_flip_and_refine(rng):
     """Engine with flip-TTA and RefineNet lifting enabled."""
@@ -296,6 +358,68 @@ def test_overflow_flag_on_crowded_scene():
                              PostProcessConfig(max_peaks=127, assoc_peaks=127))
     assert bool(np.asarray(trunc.overflow)[0])
     assert not bool(np.asarray(full.overflow)[0])
+
+
+def test_adaptive_capacity_ladder():
+    """SMAPInference(adaptive_capacities=...) picks the smallest rung that
+    fits the batch's peak counts, escalates on crowds, and matches the
+    full-capacity program at every rung."""
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.inference import SMAPInference
+    from smap_tpu.ops.postprocess import postprocess_batch
+
+    H, W = 64, 104
+    scales = [{"scale": 0.433, "img_width": 1920.0, "img_height": 1080.0,
+               "f_x": 1500.0, "f_y": 1500.0, "cx": 960.0, "cy": 540.0}]
+    info = _scale_info(scales)
+    post = PostProcessConfig(max_peaks=127, assoc_peaks=16)
+    cfg = Config(model=ModelConfig(output_shape=(H, W),
+                                   compute_dtype="float32"),
+                 post=post, input_shape=(H * 4, W * 4), output_shape=(H, W))
+    engine = SMAPInference({}, cfg, adaptive_capacities=(8, 16, 48))
+    images = np.zeros((1, H * 4, W * 4, 3), np.float32)
+
+    def feed(maps):
+        engine._jit_forward = lambda variables, images: tuple(
+            jnp.copy(m) for m in maps)
+
+    def wide_ref(maps, capacity=127):
+        return postprocess_batch(*maps, info,
+                                 PostProcessConfig(max_peaks=127,
+                                                   assoc_peaks=capacity),
+                                 net_w=float(W * 4), net_h=float(H * 4))
+
+    # Sparse scene (4 people): the 8-rung fits and must be chosen.
+    hm, pafs, rdm, _, _ = _synthetic_heatmaps(
+        np.random.RandomState(42), num_people=4, h=H, w=W)
+    sparse = (jnp.asarray(np.concatenate(
+                  [hm.transpose(1, 2, 0) * 255.0,
+                   pafs.transpose(1, 2, 0) * 127.0], -1)[None],
+              ),
+              jnp.asarray(np.random.RandomState(7).randn(
+                  1, H, W, 14).astype(np.float32)),
+              jnp.asarray(rdm[None, ..., None]))
+    feed(sparse)
+    res = engine.run_batch(images, scales)
+    assert set(engine._post_cache) == {8}
+    ref = wide_ref(sparse)
+    n = int(np.asarray(ref.count)[0])
+    assert int(np.asarray(res.count)[0]) == n
+    np.testing.assert_allclose(np.asarray(res.bodies_3d)[0, :n],
+                               np.asarray(ref.bodies_3d)[0, :n],
+                               rtol=1e-4, atol=1e-3)
+
+    # Crowded channel (>48 peaks): escalates past the ladder to max_peaks.
+    out2d, out3d, outrd = _crowded_maps(H, W, extra_grid=8)
+    crowded = tuple(map(jnp.asarray, (out2d, out3d, outrd)))
+    feed(crowded)
+    res = engine.run_batch(images, scales)
+    assert 127 in engine._post_cache
+    ref = wide_ref(crowded)
+    assert int(np.asarray(res.count)[0]) == int(np.asarray(ref.count)[0])
+    assert not bool(np.asarray(res.overflow)[0])
 
 
 def test_overflow_fallback_matches_full_capacity():

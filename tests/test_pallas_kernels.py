@@ -26,6 +26,42 @@ def _greedy_oracle(scores, dst_valid):
     return want
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_paf_sample_matches_gather(seed):
+    """paf_scores(impl='pallas', kernel in interpret mode) == impl='gather'
+    bit-exactly: one-hot selection has no accumulation, so the bf16x3 map
+    split reconstructs f32 values exactly (smap_tpu/ops/paf.py)."""
+    import jax.numpy as jnp
+
+    from smap_tpu.config import PAF_VECTOR
+    from smap_tpu.ops import pallas_kernels
+    from smap_tpu.ops.nms import extract_peaks
+    from smap_tpu.ops.paf import paf_scores
+
+    rng = np.random.RandomState(seed)
+    hm = rng.rand(15, 32, 48).astype(np.float32)
+    pafs = ((rng.rand(28, 32, 48).astype(np.float32) - 0.5) * 2)
+    peaks = extract_peaks(jnp.asarray(hm), max_peaks=31)
+    pairs = jnp.asarray(PAF_VECTOR, jnp.int32)
+
+    orig = pallas_kernels.paf_sample
+    calls = []
+
+    def interp_kernel(*a, **kw):
+        calls.append(1)
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    ref = paf_scores(jnp.asarray(pafs), peaks, pairs, impl="gather")
+    pallas_kernels.paf_sample = interp_kernel
+    try:
+        got = paf_scores(jnp.asarray(pafs), peaks, pairs, impl="pallas")
+    finally:
+        pallas_kernels.paf_sample = orig
+    assert calls, "pallas path not exercised"
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_associate_limb_matches_greedy(seed):
     import jax.numpy as jnp

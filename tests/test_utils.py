@@ -41,3 +41,34 @@ def test_timer():
     assert t.counts["a"] == 2
     assert t.totals["a"] >= 0.01
     assert "a:" in t.summary()
+
+
+def test_profiling_trace_capture(tmp_path):
+    """jax.profiler integration: a trace context writes an xplane capture;
+    inert when no dir is configured."""
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.utils.profiling import StepWindowProfiler, trace
+
+    with trace(None):     # no-op path
+        pass
+
+    log_dir = tmp_path / "prof"
+    with trace(str(log_dir)):
+        jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    files = list(log_dir.rglob("*.xplane.pb"))
+    assert files, "no trace written"
+
+    # window profiler: inert without a dir, balanced start/stop with one
+    prof = StepWindowProfiler("", first_step=1, num_steps=1)
+    for it in range(3):
+        prof.step(it)
+    prof.close()
+    prof = StepWindowProfiler(str(tmp_path / "prof2"), first_step=1,
+                              num_steps=1)
+    for it in range(3):
+        prof.step(it)
+        jax.block_until_ready(jnp.ones((4,)) + 1)
+    prof.close()
+    assert list((tmp_path / "prof2").rglob("*.xplane.pb"))
