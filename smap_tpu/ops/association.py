@@ -79,9 +79,10 @@ def _resolve_impl(impl: str) -> str:
         return impl
     # The lax.scan greedy pays ~50 us of sequential-op overhead per tiny
     # step on TPU backends (14 limbs x K steps ~ 28 ms/batch-16); the
-    # pallas kernel runs the same loop in VMEM. CPU keeps the scan
-    # (pallas interpret mode would be far slower).
-    return "scan" if jax.default_backend() == "cpu" else "pallas"
+    # pallas kernel runs the same loop in VMEM. Everything else keeps the
+    # scan (the Mosaic kernel is TPU-only; interpret mode would be far
+    # slower).
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
 
 
 def associate(peaks: Peaks, paf_score_table: jnp.ndarray,

@@ -136,9 +136,13 @@ def _sample_pallas(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
 def _resolve_impl(impl: str) -> str:
     if impl != "auto":
         return impl
-    # The scalar-gather path serializes on TPU backends; anything that is
-    # not the CPU backend gets the MXU path (fused pallas kernel).
-    return "gather" if jax.default_backend() == "cpu" else "pallas"
+    # The scalar-gather path serializes on TPU backends: TPU gets the fused
+    # Mosaic kernel, other accelerators the pure-XLA MXU formulation, CPU
+    # the plain gather (fastest there).
+    backend = jax.default_backend()
+    if backend == "tpu":
+        return "pallas"
+    return "gather" if backend == "cpu" else "onehot"
 
 
 def paf_scores(pafs: jnp.ndarray, peaks: Peaks, limb_pairs: jnp.ndarray, *,

@@ -27,40 +27,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_paf_sample_kernel(h: int, w: int, s_total: int, p_total: int,
-                            pair_block: int):
+def _make_paf_sample_kernel(h: int, w: int, s_total: int, pb: int):
     def kernel(m3t_ref, px_ref, py_ref, vx_ref, vy_ref):
-        """One limb's full PAF map sampling, pairs in the lane dimension.
+        """PAF map sampling for one (limb, pair-chunk) grid cell.
 
         m3t_ref: [1, 2W, 3H] bf16 — transposed stacked map (bf16x3 parts on
           the contracted 3H axis, x|y map halves on 2W), so each sample
           position is one MXU matmul [2W, 3H] @ [3H, PB].
-        px_ref/py_ref: [1, S, P] i32 sample pixel coordinates.
-        vx_ref/vy_ref: [1, S, P] f32 exact f32 map values.
+        px_ref/py_ref: [1, S, PB] i32 sample pixel coordinates (pairs in
+          the lane dimension).
+        vx_ref/vy_ref: [1, S, PB] f32 exact f32 map values.
 
         The one-hot operands and the [2W, PB] matmul rows live only in
         VMEM — the XLA formulation of the same math moves ~1.2 GB of
-        rows/one-hots through HBM per sample step. The sample and
-        pair-chunk loops are static (unrolled), so no dynamic indexing.
+        rows/one-hots through HBM per sample step. The sample loop is a
+        fori_loop with dynamic sublane slices (a fully unrolled variant
+        crashed the Mosaic compiler at the 127-peak capacity's 8-chunk x
+        25-sample code size).
         """
         m3t = m3t_ref[0]                                     # [2W, 3H]
-        for s in range(s_total):
-            for c0 in range(0, p_total, pair_block):
-                c1 = min(c0 + pair_block, p_total)
-                pyb = py_ref[0, s:s + 1, c0:c1]              # [1, PB]
-                pxb = px_ref[0, s:s + 1, c0:c1]
-                pb = c1 - c0
-                riota = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0)
-                oy = (riota == pyb).astype(jnp.bfloat16)     # [H, PB]
-                oy3 = jnp.concatenate([oy, oy, oy], axis=0)  # [3H, PB]
-                rows = jnp.dot(m3t, oy3,
-                               preferred_element_type=jnp.float32)
-                ciota = jax.lax.broadcasted_iota(jnp.int32, (w, pb), 0)
-                ox = (ciota == pxb).astype(jnp.float32)      # [W, PB]
-                vx_ref[0, s:s + 1, c0:c1] = jnp.sum(
-                    rows[:w] * ox, axis=0, keepdims=True)
-                vy_ref[0, s:s + 1, c0:c1] = jnp.sum(
-                    rows[w:] * ox, axis=0, keepdims=True)
+
+        def body(s, carry):
+            pyb = py_ref[0, pl.ds(s, 1), :]                  # [1, PB]
+            pxb = px_ref[0, pl.ds(s, 1), :]
+            riota = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0)
+            oy = (riota == pyb).astype(jnp.bfloat16)         # [H, PB]
+            oy3 = jnp.concatenate([oy, oy, oy], axis=0)      # [3H, PB]
+            rows = jnp.dot(m3t, oy3,
+                           preferred_element_type=jnp.float32)
+            ciota = jax.lax.broadcasted_iota(jnp.int32, (w, pb), 0)
+            ox = (ciota == pxb).astype(jnp.float32)          # [W, PB]
+            vx_ref[0, pl.ds(s, 1), :] = jnp.sum(
+                rows[:w] * ox, axis=0, keepdims=True)
+            vy_ref[0, pl.ds(s, 1), :] = jnp.sum(
+                rows[w:] * ox, axis=0, keepdims=True)
+            return carry
+
+        jax.lax.fori_loop(0, s_total, body, 0)
 
     return kernel
 
@@ -78,14 +81,23 @@ def paf_sample(m3t: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, *,
       (vx, vy): [L, S, P] f32 exact map values at the samples.
     """
     L, S, P = px.shape
-    out = jax.ShapeDtypeStruct((L, S, P), jnp.float32)
-    coord_spec = pl.BlockSpec((1, S, P), lambda l: (l, 0, 0),
+    # One grid cell per (limb, pair chunk); pad the pair axis to a whole
+    # number of chunks (padded coords sample pixel (0, 0) harmlessly and
+    # are sliced off below).
+    pb = min(pair_block, P)
+    p_pad = -(-P // pb) * pb
+    if p_pad != P:
+        pad = ((0, 0), (0, 0), (0, p_pad - P))
+        px = jnp.pad(px, pad)
+        py = jnp.pad(py, pad)
+    out = jax.ShapeDtypeStruct((L, S, p_pad), jnp.float32)
+    coord_spec = pl.BlockSpec((1, S, pb), lambda l, c: (l, 0, c),
                               memory_space=pltpu.VMEM)
     vx, vy = pl.pallas_call(
-        _make_paf_sample_kernel(h, w, S, P, pair_block),
-        grid=(L,),
+        _make_paf_sample_kernel(h, w, S, pb),
+        grid=(L, p_pad // pb),
         in_specs=[
-            pl.BlockSpec((1, 2 * w, 3 * h), lambda l: (l, 0, 0),
+            pl.BlockSpec((1, 2 * w, 3 * h), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.VMEM),
             coord_spec,
             coord_spec,
@@ -94,6 +106,8 @@ def paf_sample(m3t: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, *,
         out_shape=(out, out),
         interpret=interpret,
     )(m3t, px, py)
+    if p_pad != P:
+        vx, vy = vx[:, :, :P], vy[:, :, :P]
     return vx, vy
 
 
