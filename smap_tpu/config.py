@@ -153,6 +153,12 @@ class PostProcessConfig:
     # (smap_tpu.ops.paf). "auto" picks the MXU one-hot-matmul path on TPU
     # backends (scalar gathers serialize there) and the direct gather on CPU.
     paf_impl: str = "auto"
+    # bf16 terms the f32 PAF maps are split into for the MXU sampling
+    # matmuls (pallas/onehot impls). 3 terms (24 mantissa bits) reconstruct
+    # f32 exactly — the reference's precision; 2 (~1e-5 rel error) or 1
+    # (bf16, ~4e-3) trade exactness for proportionally fewer matmul FLOPs
+    # in the postprocessing hot kernel (serving knob).
+    paf_parts: int = 3
     # Depth read-out along limbs (reference: exps/stage3_root2/test_util.py:60).
     num_depth_samples: int = 10
     # Association.

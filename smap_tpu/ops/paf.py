@@ -53,44 +53,43 @@ def _sample_gather(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
     return mx, my
 
 
-def _split_bf16x3(m: jnp.ndarray):
-    """Split f32 into three bf16 terms whose f32 sum reconstructs it
-    (8+8+8 mantissa bits >= f32's 24)."""
-    hi = m.astype(jnp.bfloat16)
-    r = m - hi.astype(jnp.float32)
-    mid = r.astype(jnp.bfloat16)
-    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+def _split_bf16(m: jnp.ndarray, parts: int):
+    """Split f32 into ``parts`` bf16 terms whose f32 sum reconstructs it
+    to 8*parts mantissa bits (3 parts >= f32's 24: exact)."""
+    terms = []
+    r = m
+    for _ in range(parts - 1):
+        t = r.astype(jnp.bfloat16)
+        terms.append(t)
+        r = r - t.astype(jnp.float32)
+    terms.append(r.astype(jnp.bfloat16))
+    return terms
 
 
 def _sample_onehot(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
-                   px: jnp.ndarray, py: jnp.ndarray, h: int, w: int):
+                   px: jnp.ndarray, py: jnp.ndarray, h: int, w: int,
+                   parts: int = 3):
     """MXU map sampling: map[py, px] == sum_w (onehot(py) @ map) * onehot(px).
 
-    Exact f32 selection: the one-hot operand is exact in bf16 and each
-    output element is one product, so the bf16x3 map split sums back to the
-    f32 value. The three bf16 parts are stacked along the contracted H axis
-    and the x/y maps along the output W axis, so each sample position costs
-    ONE [K^2, 3H] @ [3H, 2W] matmul per limb (measured ~40% faster than six
-    small matmuls). Scanned over the S sample positions to bound the
-    transient one-hot/row tensors.
+    Exact f32 selection at parts=3: the one-hot operand is exact in bf16
+    and each output element is one product, so the bf16-part map split
+    sums back to the f32 value. The parts are stacked along the contracted
+    H axis and the x/y maps along the output W axis, so each sample
+    position costs ONE [K^2, parts*H] @ [parts*H, 2W] matmul per limb
+    (measured ~40% faster than separate small matmuls). Scanned over the
+    S sample positions to bound the transient one-hot/row tensors.
     """
     L = paf_x.shape[0]
     K, S = px.shape[1], px.shape[3]
     P = K * K
-    xh, xm, xl = _split_bf16x3(paf_x.reshape(L, h, w))
-    yh, ym, yl = _split_bf16x3(paf_y.reshape(L, h, w))
-    m3 = jnp.concatenate([
-        jnp.concatenate([xh, yh], axis=-1),
-        jnp.concatenate([xm, ym], axis=-1),
-        jnp.concatenate([xl, yl], axis=-1)], axis=1)       # [L, 3H, 2W]
+    m3 = _stack_parts(paf_x, paf_y, h, w, parts)           # [L, pH, 2W]
     pys = py.reshape(L, P, S)
     pxs = px.reshape(L, P, S)
 
     def step(_, s):
         oy = jax.nn.one_hot(pys[:, :, s], h, dtype=jnp.bfloat16)  # [L,P,H]
-        oy3 = jnp.concatenate([oy, oy, oy], axis=-1)              # [L,P,3H]
-        rows = jnp.einsum("lph,lhw->lpw", oy3, m3,
+        oyp = jnp.concatenate([oy] * parts, axis=-1)              # [L,P,pH]
+        rows = jnp.einsum("lph,lhw->lpw", oyp, m3,
                           preferred_element_type=jnp.float32)     # [L,P,2W]
         ox = jax.nn.one_hot(pxs[:, :, s], w, dtype=jnp.float32)   # [L,P,W]
         return _, (jnp.sum(rows[..., :w] * ox, axis=-1),
@@ -102,20 +101,21 @@ def _sample_onehot(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
     return mx, my
 
 
-def _stack_m3(paf_x: jnp.ndarray, paf_y: jnp.ndarray, h: int, w: int
-              ) -> jnp.ndarray:
-    """[L, 3H, 2W] bf16: bf16x3 parts on contracted-H, x|y maps on W."""
-    xh, xm, xl = _split_bf16x3(paf_x.reshape(-1, h, w))
-    yh, ym, yl = _split_bf16x3(paf_y.reshape(-1, h, w))
-    return jnp.concatenate([
-        jnp.concatenate([xh, yh], axis=-1),
-        jnp.concatenate([xm, ym], axis=-1),
-        jnp.concatenate([xl, yl], axis=-1)], axis=1)
+def _stack_parts(paf_x: jnp.ndarray, paf_y: jnp.ndarray, h: int, w: int,
+                 parts: int) -> jnp.ndarray:
+    """[L, parts*H, 2W] bf16: bf16 split terms on contracted-H, x|y maps
+    on the output W axis."""
+    xs = _split_bf16(paf_x.reshape(-1, h, w), parts)
+    ys = _split_bf16(paf_y.reshape(-1, h, w), parts)
+    return jnp.concatenate(
+        [jnp.concatenate([xp, yp], axis=-1) for xp, yp in zip(xs, ys)],
+        axis=1)
 
 
 def _sample_pallas(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
-                   px: jnp.ndarray, py: jnp.ndarray, h: int, w: int):
-    """Fused-VMEM variant of :func:`_sample_onehot` (same math, exact):
+                   px: jnp.ndarray, py: jnp.ndarray, h: int, w: int,
+                   parts: int = 3):
+    """Fused-VMEM variant of :func:`_sample_onehot` (same math):
     the one-hot operands and the [P, 2W] matmul rows never reach HBM.
     See smap_tpu.ops.pallas_kernels.paf_sample."""
     from smap_tpu.ops.pallas_kernels import paf_sample
@@ -123,11 +123,11 @@ def _sample_pallas(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
     L = paf_x.shape[0]
     K, S = px.shape[1], px.shape[3]
     P = K * K
-    m3t = jnp.swapaxes(_stack_m3(paf_x, paf_y, h, w), 1, 2)  # [L, 2W, 3H]
+    m3t = jnp.swapaxes(_stack_parts(paf_x, paf_y, h, w, parts), 1, 2)
     # [L, K, K, S] -> [L, S, K*K] (pairs in the lane dimension)
     pxs = jnp.moveaxis(px.reshape(L, P, S), -1, 1)
     pys = jnp.moveaxis(py.reshape(L, P, S), -1, 1)
-    vx, vy = paf_sample(m3t, pxs, pys, h=h, w=w)
+    vx, vy = paf_sample(m3t, pxs, pys, h=h, w=w, parts=parts)
     mx = jnp.moveaxis(vx, 1, -1).reshape(L, K, K, S)
     my = jnp.moveaxis(vy, 1, -1).reshape(L, K, K, S)
     return mx, my
@@ -149,7 +149,8 @@ def paf_scores(pafs: jnp.ndarray, peaks: Peaks, limb_pairs: jnp.ndarray, *,
                inter_threshold: float = 0.05,
                inter_min_above: float = 0.95,
                default_threshold: float = 0.1,
-               num_samples: int = 25, impl: str = "auto") -> jnp.ndarray:
+               num_samples: int = 25, impl: str = "auto",
+               parts: int = 3) -> jnp.ndarray:
     """Compute PAF pair scores.
 
     Args:
@@ -194,9 +195,9 @@ def paf_scores(pafs: jnp.ndarray, peaks: Peaks, limb_pairs: jnp.ndarray, *,
     paf_y = pafs[1::2].reshape(L, h * w)
     resolved = _resolve_impl(impl)
     if resolved == "pallas":
-        mx, my = _sample_pallas(paf_x, paf_y, px, py, h, w)
+        mx, my = _sample_pallas(paf_x, paf_y, px, py, h, w, parts)
     elif resolved == "onehot":
-        mx, my = _sample_onehot(paf_x, paf_y, px, py, h, w)
+        mx, my = _sample_onehot(paf_x, paf_y, px, py, h, w, parts)
     else:
         mx, my = _sample_gather(paf_x, paf_y, px, py, w)
 

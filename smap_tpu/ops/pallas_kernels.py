@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_paf_sample_kernel(h: int, w: int, s_total: int, pb: int):
+def _make_paf_sample_kernel(h: int, w: int, s_total: int, pb: int,
+                            parts: int):
     def kernel(m3t_ref, px_ref, py_ref, vx_ref, vy_ref):
         """PAF map sampling for one (limb, pair-chunk) grid cell.
 
@@ -52,7 +53,7 @@ def _make_paf_sample_kernel(h: int, w: int, s_total: int, pb: int):
             pxb = px_ref[0, pl.ds(s, 1), :]
             riota = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0)
             oy = (riota == pyb).astype(jnp.bfloat16)         # [H, PB]
-            oy3 = jnp.concatenate([oy, oy, oy], axis=0)      # [3H, PB]
+            oy3 = jnp.concatenate([oy] * parts, axis=0)      # [pH, PB]
             rows = jnp.dot(m3t, oy3,
                            preferred_element_type=jnp.float32)
             ciota = jax.lax.broadcasted_iota(jnp.int32, (w, pb), 0)
@@ -69,16 +70,18 @@ def _make_paf_sample_kernel(h: int, w: int, s_total: int, pb: int):
 
 
 def paf_sample(m3t: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, *,
-               h: int, w: int, pair_block: int = 2048,
+               h: int, w: int, pair_block: int = 2048, parts: int = 3,
                interpret: bool = False):
     """Fused PAF map sampling for one image.
 
     Args:
-      m3t: [L, 2W, 3H] bf16 transposed stacked map parts.
+      m3t: [L, 2W, parts*H] bf16 transposed stacked map parts.
       px, py: [L, S, P] i32 sample coordinates (P = K*K pairs).
+      parts: bf16 split terms on the contracted axis (3 = exact f32).
 
     Returns:
-      (vx, vy): [L, S, P] f32 exact map values at the samples.
+      (vx, vy): [L, S, P] f32 map values at the samples (exact at
+      parts=3).
     """
     L, S, P = px.shape
     # One grid cell per (limb, pair chunk); pad the pair axis to a whole
@@ -94,10 +97,10 @@ def paf_sample(m3t: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, *,
     coord_spec = pl.BlockSpec((1, S, pb), lambda l, c: (l, 0, c),
                               memory_space=pltpu.VMEM)
     vx, vy = pl.pallas_call(
-        _make_paf_sample_kernel(h, w, S, pb),
+        _make_paf_sample_kernel(h, w, S, pb, parts),
         grid=(L, p_pad // pb),
         in_specs=[
-            pl.BlockSpec((1, 2 * w, 3 * h), lambda l, c: (l, 0, 0),
+            pl.BlockSpec((1, 2 * w, parts * h), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.VMEM),
             coord_spec,
             coord_spec,
@@ -151,18 +154,43 @@ def _associate_limb_kernel(scores_ref, valid_ref, assign_ref, used_ref):
     jax.lax.fori_loop(0, K, body, 0)
 
 
-def associate_limb(scores_all: jnp.ndarray, dst_slot_valid: jnp.ndarray, *,
-                   interpret: bool = False) -> jnp.ndarray:
-    """Greedy per-limb assignment.
+def _associate_limb_batched_kernel(scores_ref, valid_ref, assign_ref,
+                                   used_ref):
+    """Batch-parallel sequential greedy: step k1 runs for ALL images at
+    once as [B, K] vector ops (the per-image kernel under vmap serializes
+    B x K tiny steps on the one TensorCore; this runs K steps of B-wide
+    work — same greedy semantics per image, ~B x fewer sequential steps).
 
-    Args:
-      scores_all: [K, K] f32 adjusted score matrix (person-major, already
-        penalty-adjusted and masked to -inf for invalid persons).
-      dst_slot_valid: [K] bool.
-
-    Returns:
-      [K] int32 — chosen dst peak per person (-1 = none).
+    scores_ref: [B, K, K] f32 adjusted scores (rows = persons in greedy
+      order, invalid persons/slots already -inf).
+    valid_ref: [B, K] f32 — 1.0 where the dst peak slot is real.
+    assign_ref (out): [B, K] i32 — chosen dst peak per person, -1 = none.
+    used_ref (scratch->out): [B, K] i32 — consumed dst peaks.
     """
+    B, K = valid_ref.shape
+    assign_ref[:] = jnp.full_like(assign_ref, -1)
+    used_ref[:] = jnp.zeros_like(used_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+
+    def body(k1, carry):
+        scores = scores_ref[:, pl.ds(k1, 1), :].reshape(B, K)
+        blocked = (used_ref[:] > 0) | (valid_ref[:] < 0.5)
+        scores = jnp.where(blocked, -jnp.inf, scores)
+        best = jnp.max(scores, axis=1, keepdims=True)        # [B, 1]
+        # Strictly-greater semantics with running max 0 and first-index
+        # tie-break, as in the per-image kernel (association.cpp:215-220).
+        first = jnp.min(jnp.where(scores == best, col, K), axis=1,
+                        keepdims=True)
+        take = best > 0.0                                    # [B, 1]
+        used_ref[:] = jnp.where((col == first) & take, 1, used_ref[:])
+        krow = col == k1
+        assign_ref[:] = jnp.where(krow & take, first, assign_ref[:])
+        return carry
+
+    jax.lax.fori_loop(0, K, body, 0)
+
+
+def _associate_limb_single(scores_all, dst_slot_valid, interpret):
     K = scores_all.shape[0]
     assign, _ = pl.pallas_call(
         _associate_limb_kernel,
@@ -175,3 +203,51 @@ def associate_limb(scores_all: jnp.ndarray, dst_slot_valid: jnp.ndarray, *,
     )(scores_all.astype(jnp.float32),
       dst_slot_valid.reshape(1, K).astype(jnp.float32))
     return assign[0]
+
+
+def _associate_limb_batched(scores_all, dst_slot_valid, interpret):
+    B, K = scores_all.shape[0], scores_all.shape[1]
+    assign, _ = pl.pallas_call(
+        _associate_limb_batched_kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, K), jnp.int32),
+                   jax.ShapeDtypeStruct((B, K), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(2)),
+        interpret=interpret,
+    )(scores_all.astype(jnp.float32),
+      dst_slot_valid.astype(jnp.float32))
+    return assign
+
+
+def associate_limb(scores_all: jnp.ndarray, dst_slot_valid: jnp.ndarray, *,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Greedy per-limb assignment.
+
+    Under ``jax.vmap`` (the batched post-processing pipeline), a custom
+    batching rule swaps in the batch-parallel kernel instead of
+    serializing per-image grid cells.
+
+    Args:
+      scores_all: [K, K] f32 adjusted score matrix (person-major, already
+        penalty-adjusted and masked to -inf for invalid persons).
+      dst_slot_valid: [K] bool.
+
+    Returns:
+      [K] int32 — chosen dst peak per person (-1 = none).
+    """
+
+    @jax.custom_batching.custom_vmap
+    def inner(s, v):
+        return _associate_limb_single(s, v, interpret)
+
+    @inner.def_vmap
+    def _rule(axis_size, in_batched, s, v):  # noqa: ANN001
+        s_b, v_b = in_batched
+        if not s_b:
+            s = jnp.broadcast_to(s, (axis_size,) + s.shape)
+        if not v_b:
+            v = jnp.broadcast_to(v, (axis_size,) + v.shape)
+        return _associate_limb_batched(s, v, interpret), True
+
+    return inner(scores_all, dst_slot_valid)

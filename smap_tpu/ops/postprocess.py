@@ -102,7 +102,7 @@ def postprocess_single(outputs_2d: jnp.ndarray, outputs_3d: jnp.ndarray,
                        inter_min_above=cfg.inter_min_above_threshold,
                        default_threshold=cfg.default_nms_threshold,
                        num_samples=cfg.num_line_samples,
-                       impl=cfg.paf_impl)
+                       impl=cfg.paf_impl, parts=cfg.paf_parts)
     bodies = associate(peaks, table, rd_map, root_idx=ROOT_IDX,
                        ds_scale=cfg.ds_scale, bone_factor=cfg.bone_factor,
                        impl=cfg.assoc_impl)

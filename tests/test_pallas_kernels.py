@@ -62,6 +62,42 @@ def test_paf_sample_matches_gather(seed):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_bf16_split_precision_ladder(rng):
+    """_split_bf16 reconstruction: 3 parts exact, 2 parts ~2^-16 rel,
+    1 part = plain bf16 (the paf_parts serving knob's error model)."""
+    import jax.numpy as jnp
+
+    from smap_tpu.ops.paf import _split_bf16
+
+    m = jnp.asarray((rng.rand(64, 64).astype(np.float32) - 0.5) * 2)
+    for parts, tol in ((3, 0.0), (2, 2.0 ** -15), (1, 2.0 ** -7)):
+        rec = sum(t.astype(jnp.float32) for t in _split_bf16(m, parts))
+        err = np.abs(np.asarray(rec) - np.asarray(m))
+        rel = err / np.maximum(np.abs(np.asarray(m)), 1e-6)
+        assert rel.max() <= tol, (parts, rel.max())
+
+
+def test_paf_scores_parts2_close_to_exact(rng):
+    """parts=2 sampling stays within ~1e-4 of the exact table on entries
+    where both agree on the pass/threshold pattern (vast majority)."""
+    import jax.numpy as jnp
+
+    from smap_tpu.config import PAF_VECTOR
+    from smap_tpu.ops.nms import extract_peaks
+    from smap_tpu.ops.paf import paf_scores
+
+    hm = rng.rand(15, 32, 48).astype(np.float32)
+    pafs = ((rng.rand(28, 32, 48).astype(np.float32) - 0.5) * 2)
+    peaks = extract_peaks(jnp.asarray(hm), max_peaks=15)
+    pairs = jnp.asarray(PAF_VECTOR, jnp.int32)
+    exact = np.asarray(paf_scores(jnp.asarray(pafs), peaks, pairs,
+                                  impl="onehot", parts=3))
+    approx = np.asarray(paf_scores(jnp.asarray(pafs), peaks, pairs,
+                                   impl="onehot", parts=2))
+    close = np.abs(exact - approx) < 1e-4
+    assert close.mean() > 0.99, close.mean()
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_associate_limb_matches_greedy(seed):
     import jax.numpy as jnp
@@ -77,6 +113,29 @@ def test_associate_limb_matches_greedy(seed):
     got = np.asarray(associate_limb(jnp.asarray(scores),
                                     jnp.asarray(dst_valid), interpret=True))
     np.testing.assert_array_equal(got, _greedy_oracle(scores, dst_valid))
+
+
+def test_associate_limb_batched_rule_matches_greedy(rng):
+    """vmap(associate_limb) routes through the batch-parallel kernel via
+    the custom batching rule and must match the per-image greedy oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.ops.pallas_kernels import associate_limb
+
+    B, K = 5, 24
+    scores = (rng.rand(B, K, K).astype(np.float32) * 2 - 1)
+    for b in range(B):
+        scores[b, rng.rand(K) < 0.3] = -np.inf
+    dst_valid = np.stack([np.arange(K) < rng.randint(1, K)
+                          for _ in range(B)])
+
+    got = np.asarray(jax.vmap(
+        lambda s, v: associate_limb(s, v, interpret=True))(
+            jnp.asarray(scores), jnp.asarray(dst_valid)))
+    ref = np.stack([_greedy_oracle(scores[b], dst_valid[b])
+                    for b in range(B)])
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_associate_impl_parity(rng):
