@@ -62,6 +62,10 @@ def main() -> None:
                         help="image root for generate_* modes")
     parser.add_argument("--json_name", default="")
     parser.add_argument("--output-dir", default="model_logs/stage3_root2/result")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="single-process multi-chip serving: shard "
+                        "each batch over all local devices (batch_size "
+                        "must be divisible by the device count)")
     parser.add_argument("--adaptive-capacities", default="",
                         help="comma-separated peak-capacity ladder for "
                         "run_inference, e.g. 8,16,40: post-processing runs "
@@ -119,7 +123,8 @@ def main() -> None:
                           refine_variables=refine_variables,
                           do_flip=bool(args.do_flip),
                           batch_size=args.batch_size, output_json=out_json,
-                          adaptive_capacities=ladder)
+                          adaptive_capacities=ladder,
+                          data_parallel=args.data_parallel)
         print(f"results written to {out_json}")
         return
 
@@ -132,8 +137,16 @@ def main() -> None:
     ds = JointDataset(records, {"MUPOTS": args.test_root,
                                 "MUCO": args.test_root},
                       cfg, stage, with_augmentation=False)
+    mesh = None
+    if args.data_parallel:
+        import jax as _jax
+
+        from smap_tpu.parallel.mesh import make_mesh
+
+        if len(_jax.local_devices()) > 1:
+            mesh = make_mesh(_jax.local_devices())
     engine = SMAPInference(variables, cfg, refine_variables,
-                           bool(args.do_flip))
+                           bool(args.do_flip), mesh=mesh)
     # Contiguous per-process eval shard + picklable all-gather merge
     # (reference: lib/utils/dataloader.py:79-85 + comm.py:47-87).
     import jax

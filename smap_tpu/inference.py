@@ -51,6 +51,16 @@ class SMAPInference:
         (extensions/association.cpp:20) so crowded scenes never silently
         diverge. The wide program compiles lazily on first overflow.
         Requires the split pipeline (``fused=False``).
+      mesh: optional ``jax.sharding.Mesh`` for single-process multi-chip
+        serving: the batch axis is sharded over the mesh's ``data`` axis
+        (each chip runs forward + post-processing on its shard; no
+        cross-chip communication is needed — the pipeline is
+        embarrassingly batch-parallel), parameters are replicated once at
+        construction. Batch size must be divisible by the mesh size.
+        This is the serving counterpart of the SPMD train step
+        (smap_tpu/parallel/mesh.py); the reference's analogue is one
+        process per GPU with a contiguous eval shard
+        (lib/utils/dataloader.py:79-85).
       adaptive_capacities: optional ascending peak capacities, e.g.
         ``(8, 16, 40)``. Post-processing cost is quadratic in the peak
         capacity (the PAF score table is [L, K, K]), but XLA programs are
@@ -69,7 +79,7 @@ class SMAPInference:
     def __init__(self, variables, cfg: Config = Config(),
                  refine_variables=None, do_flip: bool = False,
                  fused: bool = False, overflow_fallback: bool = False,
-                 adaptive_capacities=None):
+                 adaptive_capacities=None, mesh=None):
         if fused and (overflow_fallback or adaptive_capacities):
             raise ValueError("overflow_fallback/adaptive_capacities require "
                              "the split (fused=False) pipeline")
@@ -77,6 +87,14 @@ class SMAPInference:
             raise ValueError("adaptive_capacities already escalates; don't "
                              "combine it with overflow_fallback")
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from smap_tpu.parallel.mesh import replicated
+
+            variables = jax.device_put(variables, replicated(mesh))
+            if refine_variables is not None:
+                refine_variables = jax.device_put(refine_variables,
+                                                  replicated(mesh))
         self.variables = variables
         self.refine_variables = refine_variables
         self.do_flip = do_flip
@@ -170,6 +188,21 @@ class SMAPInference:
             results = results._replace(bodies_3d=refined)
         return results
 
+    def _place(self, images, info: ScaleInfo):
+        """Device placement: batch-sharded over the mesh when one is set."""
+        images = jnp.asarray(images)
+        if self.mesh is None:
+            return images, info
+        from smap_tpu.parallel.mesh import batch_sharding
+
+        n = self.mesh.devices.size
+        if images.shape[0] % n:
+            raise ValueError(f"batch {images.shape[0]} not divisible by "
+                             f"the {n}-device mesh")
+        sh = batch_sharding(self.mesh)
+        return (jax.device_put(images, sh),
+                jax.tree.map(lambda a: jax.device_put(a, sh), info))
+
     def _make_scale_info(self, scales) -> ScaleInfo:
         if isinstance(scales, ScaleInfo):
             # Pre-built (device-resident) metadata: serving loops with fixed
@@ -218,11 +251,11 @@ class SMAPInference:
             transfer than f32).
           scales: per-image scale dicts.
         """
-        info = self._make_scale_info(scales)
+        images, info = self._place(images, self._make_scale_info(scales))
         if self.fused:
             return self._jit_fused(self.variables, self.refine_variables,
-                                   jnp.asarray(images), info)
-        maps = self._jit_forward(self.variables, jnp.asarray(images))
+                                   images, info)
+        maps = self._jit_forward(self.variables, images)
         if self.adaptive_capacities:
             # Capacity ladder: one cheap dense count pass picks the
             # smallest compiled program that fits this batch's peaks.
@@ -251,8 +284,7 @@ class SMAPInference:
         import time
 
         assert not self.fused, "stage timing needs the split pipeline"
-        info = self._make_scale_info(scales)
-        x = jnp.asarray(images)
+        x, info = self._place(images, self._make_scale_info(scales))
         t0 = time.perf_counter()
         maps = jax.block_until_ready(self._jit_forward(self.variables, x))
         t1 = time.perf_counter()
@@ -384,7 +416,8 @@ def run_labeled_inference(dataset, engine: "SMAPInference",
 def run_inference(image_dir: str, variables, cfg: Config = Config(),
                   refine_variables=None, do_flip: bool = False,
                   batch_size: int = 16, output_json: Optional[str] = None,
-                  adaptive_capacities=None) -> Dict[str, Any]:
+                  adaptive_capacities=None, data_parallel: bool = False
+                  ) -> Dict[str, Any]:
     """Directory-of-images inference (reference 'run_inference' mode).
 
     Globs jpg/png/jpeg recursively (custom_dataset.py:16-18), letterboxes on
@@ -398,8 +431,17 @@ def run_inference(image_dir: str, variables, cfg: Config = Config(),
         paths.extend(glob.glob(os.path.join(image_dir, f"**/*.{ext}"),
                                recursive=True))
     paths.sort()
+    mesh = None
+    if data_parallel and len(jax.local_devices()) > 1:
+        from smap_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.local_devices())
+        if batch_size % mesh.devices.size:
+            raise ValueError(f"--batch_size {batch_size} must be divisible "
+                             f"by the {mesh.devices.size} local devices")
     engine = SMAPInference(variables, cfg, refine_variables, do_flip,
-                           adaptive_capacities=adaptive_capacities)
+                           adaptive_capacities=adaptive_capacities,
+                           mesh=mesh)
 
     from smap_tpu.data.preprocess import letterbox_image
 

@@ -360,6 +360,46 @@ def test_overflow_flag_on_crowded_scene():
     assert not bool(np.asarray(full.overflow)[0])
 
 
+def test_mesh_sharded_serving_matches_single_device(rng):
+    """SMAPInference(mesh=...) shards the batch over the 8-device CPU mesh
+    (forward + postproc per shard, params replicated) and must match the
+    unsharded engine."""
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.inference import SMAPInference
+    from smap_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(model=ModelConfig(stage_num=1, output_shape=(16, 32),
+                                   compute_dtype="float32"),
+                 post=PostProcessConfig(max_peaks=15),
+                 input_shape=(64, 128), output_shape=(16, 32))
+    from smap_tpu.models.smap import SMAP
+
+    model = SMAP(cfg.model)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 128, 3), jnp.float32))
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sharded = SMAPInference(variables, cfg, mesh=mesh)
+    plain = SMAPInference(variables, cfg)
+
+    imgs = (rng.rand(8, 64, 128, 3) * 255).astype(np.uint8)
+    scales = [{"scale": 0.25, "img_width": 512.0, "img_height": 256.0,
+               "f_x": 500.0, "f_y": 500.0, "cx": 256.0, "cy": 128.0}
+              for _ in range(8)]
+    res_s = sharded.run_batch(imgs, scales)
+    res_p = plain.run_batch(imgs, scales)
+    assert int(np.asarray(res_s.count).sum()) == int(
+        np.asarray(res_p.count).sum())
+    np.testing.assert_allclose(np.asarray(res_s.bodies_3d),
+                               np.asarray(res_p.bodies_3d),
+                               rtol=1e-4, atol=1e-3)
+    with pytest.raises(ValueError):
+        sharded.run_batch(imgs[:5], scales[:5])
+
+
 def test_adaptive_capacity_ladder():
     """SMAPInference(adaptive_capacities=...) picks the smallest rung that
     fits the batch's peak counts, escalates on crowds, and matches the
