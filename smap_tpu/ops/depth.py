@@ -39,6 +39,20 @@ def _nearest_upsampled_gather(base_map: jnp.ndarray, x: jnp.ndarray,
     return base_map[..., yi, xi]
 
 
+def _sample_maps(maps: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                 stride: int) -> jnp.ndarray:
+    """Nearest-upsampled readout of [C, Ho, Wo] maps at [C, ...] coords via
+    the exact one-hot MXU formulation (scalar gathers serialize on TPU;
+    smap_tpu.ops.sample)."""
+    from smap_tpu.ops.sample import gather_2d
+
+    c, h, w = maps.shape
+    lead = x.shape[1:]
+    xi = jnp.clip(x.astype(jnp.int32) // stride, 0, w - 1).reshape(c, -1)
+    yi = jnp.clip(y.astype(jnp.int32) // stride, 0, h - 1).reshape(c, -1)
+    return gather_2d(maps, xi, yi).reshape((c,) + lead)
+
+
 def read_limb_depths(bodies_2d: jnp.ndarray, paf_z: jnp.ndarray, *,
                      stride: int = 4, num_samples: int = 10,
                      root_idx: int = 2) -> jnp.ndarray:
@@ -62,11 +76,10 @@ def read_limb_depths(bodies_2d: jnp.ndarray, paf_z: jnp.ndarray, *,
     xs = jnp.round(src[..., 0:1] * (1 - t) + dst[..., 0:1] * t)
     ys = jnp.round(src[..., 1:2] * (1 - t) + dst[..., 1:2] * t)
 
-    def per_limb(z_map, x, y):                             # [P,S] coords
-        return _nearest_upsampled_gather(z_map, x, y, stride)
-
-    vals = jax.vmap(per_limb, in_axes=(0, 1, 1), out_axes=1)(
-        paf_z, xs, ys)                                     # [P, L, S]
+    # [P, L, S] coords -> per-limb-channel sampling: [L, P, S]
+    vals = jnp.moveaxis(
+        _sample_maps(paf_z, jnp.moveaxis(xs, 1, 0), jnp.moveaxis(ys, 1, 0),
+                     stride), 0, 1)                        # [P, L, S]
 
     lo = jnp.percentile(vals, 10.0, axis=-1, keepdims=True)
     hi = jnp.percentile(vals, 90.0, axis=-1, keepdims=True)

@@ -101,3 +101,20 @@ def test_chain_depths_neck_root():
         want[:, d] = want[:, s] + dv[:, k]
     np.testing.assert_allclose(rel, want, rtol=1e-6)
     assert np.all(rel[:, 0] == 0)
+
+
+def test_gather_2d_onehot_matches_gather(rng):
+    """ops.sample.gather_2d: the MXU one-hot formulation is bit-exact
+    against the direct gather (bf16x3 split, single-product outputs)."""
+    import jax.numpy as jnp
+
+    from smap_tpu.ops.sample import gather_2d
+
+    maps = (rng.rand(14, 32, 52).astype(np.float32) - 0.5) * 4
+    x = rng.randint(0, 52, (14, 40)).astype(np.int32)
+    y = rng.randint(0, 32, (14, 40)).astype(np.int32)
+    ref = np.asarray(gather_2d(jnp.asarray(maps), jnp.asarray(x),
+                               jnp.asarray(y), impl="gather"))
+    got = np.asarray(gather_2d(jnp.asarray(maps), jnp.asarray(x),
+                               jnp.asarray(y), impl="onehot"))
+    np.testing.assert_array_equal(got, ref)
