@@ -1,4 +1,5 @@
-"""PyTorch checkpoint -> JAX pytree converter for SMAP / RefineNet.
+"""PyTorch checkpoint <-> JAX pytree converters for SMAP / RefineNet
+(both directions: reference .pth -> our variables, and export back).
 
 Maps the reference's state_dict naming (``model/smap.py`` module tree in
 zju3dv/SMAP, e.g. ``stage0.downsample.layer1.0.conv_bn_relu1.conv.weight``)
@@ -122,6 +123,89 @@ def convert_refinenet_state_dict(state_dict: Mapping[str, Any]
             elif leaf == "running_var":
                 _set(stats, (name, "var"), arr)
     return {"params": params, "batch_stats": stats}
+
+
+def _flatten(tree: Mapping[str, Any], prefix: Tuple[str, ...] = ()):
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), np.asarray(v)
+
+
+_MERGED_LAYER = re.compile(r"^(layer[1-4])_(\d+)$")
+
+
+def _unmerge(scope: Tuple[str, ...]) -> str:
+    """Our block names back to torch Sequential dotted keys
+    (``layer1_0`` -> ``layer1.0``)."""
+    parts = []
+    for p in scope:
+        m = _MERGED_LAYER.match(p)
+        parts.append(f"{m.group(1)}.{m.group(2)}" if m else p)
+    return ".".join(parts)
+
+
+def export_smap_state_dict(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`convert_smap_state_dict`: our
+    {'params', 'batch_stats'} pytree -> a reference-layout state_dict of
+    numpy arrays (torch OIHW conv kernels, ``num_batches_tracked`` zeros),
+    loadable by the reference ``model/smap.py`` after ``torch.save``.
+    """
+    out: Dict[str, Any] = {}
+    for path, arr in _flatten(variables["params"]):
+        *scope, module, leaf = path
+        key = _unmerge(tuple(scope) + (module,))
+        if module == "conv":
+            if leaf == "kernel":
+                out[f"{key}.weight"] = arr.transpose(3, 2, 0, 1)
+            else:
+                out[f"{key}.bias"] = arr
+        elif module == "bn":
+            out[f"{key}.{'weight' if leaf == 'scale' else 'bias'}"] = arr
+        else:
+            raise KeyError(f"unexpected param module in {path}")
+    for path, arr in _flatten(variables["batch_stats"]):
+        *scope, module, leaf = path
+        key = _unmerge(tuple(scope) + (module,))
+        out[f"{key}.running_{'mean' if leaf == 'mean' else 'var'}"] = arr
+        out[f"{key}.num_batches_tracked"] = np.asarray(0, np.int64)
+    return out
+
+
+def export_refinenet_state_dict(variables: Mapping[str, Any]
+                                ) -> Dict[str, Any]:
+    """Inverse of :func:`convert_refinenet_state_dict` (reference layout:
+    ``block.layerN.0`` Linear / ``block.layerN.1`` BatchNorm1d,
+    ``block.layer5`` Linear)."""
+    out: Dict[str, Any] = {}
+    for (name, leaf), arr in _flatten(variables["params"]):
+        if name == "layer5":
+            out[f"block.layer5.{'weight' if leaf == 'kernel' else 'bias'}"
+                ] = arr.T if leaf == "kernel" else arr
+        elif name.startswith("layer"):
+            out[f"block.{name}.0.{'weight' if leaf == 'kernel' else 'bias'}"
+                ] = arr.T if leaf == "kernel" else arr
+        else:  # bnN
+            n = name[len("bn"):]
+            out[f"block.layer{n}.1.{'weight' if leaf == 'scale' else 'bias'}"
+                ] = arr
+    for (name, leaf), arr in _flatten(variables["batch_stats"]):
+        n = name[len("bn"):]
+        out[f"block.layer{n}.1.running_{'mean' if leaf == 'mean' else 'var'}"
+            ] = arr
+        out[f"block.layer{n}.1.num_batches_tracked"] = np.asarray(0, np.int64)
+    return out
+
+
+def save_torch_checkpoint(state_dict: Mapping[str, Any], path: str) -> None:
+    """torch.save a numpy state_dict as {'model': tensors} (the reference
+    checkpoint schema, engine.py:100-105)."""
+    import torch
+
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in state_dict.items()}
+    torch.save({"model": tensors}, path)
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:

@@ -162,6 +162,44 @@ def test_converter_roundtrip_shapes():
     assert outrd.shape == (1, 32, 52, 1)
 
 
+def test_export_smap_state_dict_roundtrip():
+    """torch state_dict -> our variables -> exported state_dict is
+    bit-identical (incl. num_batches_tracked zeros), so TPU-trained
+    checkpoints load back into the reference model."""
+    torch, torch_model = _load_reference_smap()
+    from smap_tpu.models.torch_convert import (convert_smap_state_dict,
+                                               export_smap_state_dict)
+
+    sd = {k: v for k, v in torch_model.state_dict().items()}
+    variables = convert_smap_state_dict(sd)
+    back = export_smap_state_dict(variables)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k].detach().cpu().numpy(),
+                                      err_msg=k)
+
+
+def test_export_refinenet_state_dict_roundtrip():
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(1)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from model.refinenet import RefineNet as TorchRefine  # noqa: E402
+
+    from smap_tpu.models.torch_convert import (convert_refinenet_state_dict,
+                                               export_refinenet_state_dict)
+
+    tmodel = TorchRefine()
+    tmodel.eval()
+    sd = {k: v for k, v in tmodel.state_dict().items()}
+    variables = convert_refinenet_state_dict(sd)
+    back = export_refinenet_state_dict(variables)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k].detach().cpu().numpy(),
+                                      err_msg=k)
+
+
 def test_refinenet_parity():
     """RefineNet forward parity vs the reference torch module."""
     torch = pytest.importorskip("torch")
