@@ -122,15 +122,11 @@ def _sample_pallas(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
 
     L = paf_x.shape[0]
     K, S = px.shape[1], px.shape[3]
-    P = K * K
     m3t = jnp.swapaxes(_stack_parts(paf_x, paf_y, h, w, parts), 1, 2)
-    # [L, K, K, S] -> [L, S, K*K] (pairs in the lane dimension)
-    pxs = jnp.moveaxis(px.reshape(L, P, S), -1, 1)
-    pys = jnp.moveaxis(py.reshape(L, P, S), -1, 1)
-    vx, vy = paf_sample(m3t, pxs, pys, h=h, w=w, parts=parts)
-    mx = jnp.moveaxis(vx, 1, -1).reshape(L, K, K, S)
-    my = jnp.moveaxis(vy, 1, -1).reshape(L, K, K, S)
-    return mx, my
+    # Flatten (pair, sample) straight into the lane dimension.
+    vx, vy = paf_sample(m3t, px.reshape(L, -1), py.reshape(L, -1),
+                        h=h, w=w, parts=parts)
+    return vx.reshape(L, K, K, S), vy.reshape(L, K, K, S)
 
 
 def _resolve_impl(impl: str) -> str:

@@ -27,44 +27,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_paf_sample_kernel(h: int, w: int, s_total: int, pb: int,
-                            parts: int):
+def _make_paf_sample_kernel(h: int, w: int, pb: int, parts: int):
     def kernel(m3t_ref, px_ref, py_ref, vx_ref, vy_ref):
-        """PAF map sampling for one (limb, pair-chunk) grid cell.
+        """PAF map sampling for one (limb, sample-chunk) grid cell.
 
-        m3t_ref: [1, 2W, 3H] bf16 — transposed stacked map (bf16x3 parts on
-          the contracted 3H axis, x|y map halves on 2W), so each sample
-          position is one MXU matmul [2W, 3H] @ [3H, PB].
-        px_ref/py_ref: [1, S, PB] i32 sample pixel coordinates (pairs in
-          the lane dimension).
-        vx_ref/vy_ref: [1, S, PB] f32 exact f32 map values.
+        m3t_ref: [1, 2W, pH] bf16 — transposed stacked map (bf16-split
+          parts on the contracted pH axis, x|y map halves on 2W).
+        px_ref/py_ref: [1, 1, PB] i32 — a lane-dim chunk of the limb's
+          FLATTENED (pair x sample) coordinates.
+        vx_ref/vy_ref: [1, 1, PB] f32 map values (exact at parts=3).
 
-        The one-hot operands and the [2W, PB] matmul rows live only in
-        VMEM — the XLA formulation of the same math moves ~1.2 GB of
-        rows/one-hots through HBM per sample step. The sample loop is a
-        fori_loop with dynamic sublane slices (a fully unrolled variant
-        crashed the Mosaic compiler at the 127-peak capacity's 8-chunk x
-        25-sample code size).
+        One matmul [2W, pH] @ [pH, PB] per grid cell, no inner loop: an
+        earlier variant looped over sample positions inside the cell and
+        was sequential-overhead bound (~5.7 us/iteration across 5600
+        tiny steps; the matmuls themselves are ~13 ms/batch). All
+        transients stay in VMEM — the XLA formulation of the same math
+        moves ~1.2 GB of rows/one-hots through HBM per batch.
         """
-        m3t = m3t_ref[0]                                     # [2W, 3H]
-
-        def body(s, carry):
-            pyb = py_ref[0, pl.ds(s, 1), :]                  # [1, PB]
-            pxb = px_ref[0, pl.ds(s, 1), :]
-            riota = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0)
-            oy = (riota == pyb).astype(jnp.bfloat16)         # [H, PB]
-            oy3 = jnp.concatenate([oy] * parts, axis=0)      # [pH, PB]
-            rows = jnp.dot(m3t, oy3,
-                           preferred_element_type=jnp.float32)
-            ciota = jax.lax.broadcasted_iota(jnp.int32, (w, pb), 0)
-            ox = (ciota == pxb).astype(jnp.float32)          # [W, PB]
-            vx_ref[0, pl.ds(s, 1), :] = jnp.sum(
-                rows[:w] * ox, axis=0, keepdims=True)
-            vy_ref[0, pl.ds(s, 1), :] = jnp.sum(
-                rows[w:] * ox, axis=0, keepdims=True)
-            return carry
-
-        jax.lax.fori_loop(0, s_total, body, 0)
+        m3t = m3t_ref[0]                                     # [2W, pH]
+        pyb = py_ref[0]                                      # [1, PB]
+        pxb = px_ref[0]
+        riota = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0)
+        oy = (riota == pyb).astype(jnp.bfloat16)             # [H, PB]
+        oyp = jnp.concatenate([oy] * parts, axis=0)          # [pH, PB]
+        rows = jnp.dot(m3t, oyp, preferred_element_type=jnp.float32)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (w, pb), 0)
+        ox = (ciota == pxb).astype(jnp.float32)              # [W, PB]
+        vx_ref[0] = jnp.sum(rows[:w] * ox, axis=0, keepdims=True)
+        vy_ref[0] = jnp.sum(rows[w:] * ox, axis=0, keepdims=True)
 
     return kernel
 
@@ -76,29 +66,26 @@ def paf_sample(m3t: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, *,
 
     Args:
       m3t: [L, 2W, parts*H] bf16 transposed stacked map parts.
-      px, py: [L, S, P] i32 sample coordinates (P = K*K pairs).
+      px, py: [L, N] i32 flattened sample coordinates (N = K*K*S).
       parts: bf16 split terms on the contracted axis (3 = exact f32).
 
     Returns:
-      (vx, vy): [L, S, P] f32 map values at the samples (exact at
-      parts=3).
+      (vx, vy): [L, N] f32 map values at the samples (exact at parts=3).
     """
-    L, S, P = px.shape
-    # One grid cell per (limb, pair chunk); pad the pair axis to a whole
-    # number of chunks (padded coords sample pixel (0, 0) harmlessly and
-    # are sliced off below).
-    pb = min(pair_block, P)
-    p_pad = -(-P // pb) * pb
-    if p_pad != P:
-        pad = ((0, 0), (0, 0), (0, p_pad - P))
-        px = jnp.pad(px, pad)
-        py = jnp.pad(py, pad)
-    out = jax.ShapeDtypeStruct((L, S, p_pad), jnp.float32)
-    coord_spec = pl.BlockSpec((1, S, pb), lambda l, c: (l, 0, c),
+    L, N = px.shape
+    # One grid cell per (limb, lane chunk); pad the flattened sample axis
+    # to a whole number of chunks (padded coords sample pixel (0, 0)
+    # harmlessly and are sliced off below).
+    pb = min(pair_block, -(-N // 128) * 128)
+    n_pad = -(-N // pb) * pb
+    px = jnp.pad(px, ((0, 0), (0, n_pad - N))).reshape(L, 1, n_pad)
+    py = jnp.pad(py, ((0, 0), (0, n_pad - N))).reshape(L, 1, n_pad)
+    out = jax.ShapeDtypeStruct((L, 1, n_pad), jnp.float32)
+    coord_spec = pl.BlockSpec((1, 1, pb), lambda l, c: (l, 0, c),
                               memory_space=pltpu.VMEM)
     vx, vy = pl.pallas_call(
-        _make_paf_sample_kernel(h, w, S, pb, parts),
-        grid=(L, p_pad // pb),
+        _make_paf_sample_kernel(h, w, pb, parts),
+        grid=(L, n_pad // pb),
         in_specs=[
             pl.BlockSpec((1, 2 * w, parts * h), lambda l, c: (l, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -109,9 +96,7 @@ def paf_sample(m3t: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, *,
         out_shape=(out, out),
         interpret=interpret,
     )(m3t, px, py)
-    if p_pad != P:
-        vx, vy = vx[:, :, :P], vy[:, :, :P]
-    return vx, vy
+    return vx[:, 0, :N], vy[:, 0, :N]
 
 
 def _associate_limb_kernel(scores_ref, valid_ref, assign_ref, used_ref):
