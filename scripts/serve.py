@@ -1,0 +1,136 @@
+"""Streaming serving loop: image frames -> 3D poses as JSON lines.
+
+The production serving shape of the framework (the reference has no
+serving entry point; its closest analogue is `run_inference` over a
+directory, exps/stage3_root2/test.py:156-178):
+
+* frames are letterboxed on host and shipped as packed planar I420
+  (YUV 4:2:0, the video wire format — 1.5 bytes/pixel over the
+  host->device link, converted + normalized on device);
+* post-processing runs at an adaptive peak capacity (the smallest
+  compiled program that fits each batch's scenes);
+* results stream out as one JSON line per image (same `3d_pairs` item
+  schema as the batch CLIs), flushed per batch.
+
+Usage:
+  python scripts/serve.py --source /path/imgs -p SMAP.pth --out poses.jsonl
+  # keep polling the directory for new frames:
+  python scripts/serve.py --source /path/imgs --watch ... --out -
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def iter_frames(source: str, watch: bool, poll_s: float = 0.5):
+    """Yield image paths; in watch mode, keep polling for new ones and
+    yield None after an idle poll (lets the caller flush partial
+    batches instead of stalling on a quiet source)."""
+    seen = set()
+    while True:
+        paths = []
+        for ext in ("jpg", "png", "jpeg"):
+            paths.extend(glob.glob(os.path.join(source, f"**/*.{ext}"),
+                                   recursive=True))
+        fresh = [p for p in sorted(paths) if p not in seen]
+        for p in fresh:
+            seen.add(p)
+            yield p
+        if not watch:
+            return
+        if not fresh:
+            yield None
+        time.sleep(poll_s)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--source", required=True, help="image directory")
+    parser.add_argument("--watch", action="store_true",
+                        help="keep polling for new frames")
+    parser.add_argument("--smap-path", "-p", default="")
+    parser.add_argument("--ckpt-dir", default="")
+    parser.add_argument("--refine-path", "-rp", default="")
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--adaptive-capacities", default="8,16,40",
+                        help="peak-capacity ladder ('' disables)")
+    parser.add_argument("--out", default="-",
+                        help="output JSONL path ('-' = stdout)")
+    args = parser.parse_args()
+
+    from smap_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import cv2
+    import numpy as np
+
+    from smap_tpu.config import Config
+    from smap_tpu.data.preprocess import bgr_to_i420, letterbox_image
+    from smap_tpu.inference import SMAPInference
+    from scripts.test_smap import load_smap_variables  # reuse loaders
+
+    cfg = Config()
+    variables = load_smap_variables(args, cfg)
+    refine_variables = None
+    if args.refine_path:
+        import jax
+
+        from smap_tpu.models.torch_convert import (
+            convert_refinenet_state_dict, load_torch_checkpoint)
+        refine_variables = jax.tree.map(
+            lambda x: x, convert_refinenet_state_dict(
+                load_torch_checkpoint(args.refine_path)))
+
+    ladder = (tuple(int(c) for c in args.adaptive_capacities.split(","))
+              if args.adaptive_capacities else None)
+    engine = SMAPInference(variables, cfg, refine_variables,
+                           adaptive_capacities=ladder)
+    sink = sys.stdout if args.out == "-" else open(args.out, "a")
+
+    pending, names, scales = [], [], []
+
+    def flush():
+        if not pending:
+            return
+        n = len(pending)
+        batch = pending + [np.zeros_like(pending[0])] * (args.batch_size - n)
+        sc = scales + [scales[-1]] * (args.batch_size - n)
+        res = engine.run_batch(np.stack(batch), sc)
+        import jax
+
+        pairs = engine.results_to_pairs(
+            jax.tree.map(lambda a: a[:n], res), names)
+        for item in pairs:
+            sink.write(json.dumps(item) + "\n")
+        sink.flush()
+        pending.clear()
+        names.clear()
+        scales.clear()
+
+    for path in iter_frames(args.source, args.watch):
+        if path is None:   # idle poll: drain the partial batch
+            flush()
+            continue
+        raw = cv2.imread(path, cv2.IMREAD_COLOR)
+        if raw is None:
+            continue
+        img, scale = letterbox_image(raw, cfg.input_shape)
+        pending.append(bgr_to_i420(img))   # 1.5 B/px over the link
+        names.append(path)
+        scales.append(scale)
+        if len(pending) == args.batch_size:
+            flush()
+    flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -279,20 +279,26 @@ class SMAPInference:
                         scales: Sequence[Dict[str, float]]):
         """run_batch + per-stage wall times (split mode only).
 
-        Returns (results, {"model_ms", "postproc_ms"}).
+        Returns (results, {"transfer_ms", "model_ms", "postproc_ms"}).
+        ``transfer_ms`` is the synchronous host->device input transfer
+        (overlapped with compute in the pipelined serving loop);
+        ``model_ms`` is then pure forward compute.
         """
         import time
 
         assert not self.fused, "stage timing needs the split pipeline"
-        x, info = self._place(images, self._make_scale_info(scales))
         t0 = time.perf_counter()
-        maps = jax.block_until_ready(self._jit_forward(self.variables, x))
+        x, info = self._place(images, self._make_scale_info(scales))
+        x = jax.block_until_ready(x)
         t1 = time.perf_counter()
+        maps = jax.block_until_ready(self._jit_forward(self.variables, x))
+        t2 = time.perf_counter()
         results = jax.block_until_ready(
             self._jit_post(self.refine_variables, *maps, info))
-        t2 = time.perf_counter()
-        return results, {"model_ms": (t1 - t0) * 1e3,
-                         "postproc_ms": (t2 - t1) * 1e3}
+        t3 = time.perf_counter()
+        return results, {"transfer_ms": (t1 - t0) * 1e3,
+                         "model_ms": (t2 - t1) * 1e3,
+                         "postproc_ms": (t3 - t2) * 1e3}
 
     # ------------------------------------------------------------------
     # Result serialization (reference JSON schema, test_util.py:134-158)
