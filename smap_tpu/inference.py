@@ -163,13 +163,19 @@ class SMAPInference:
             means = jnp.asarray(PIXEL_MEANS_BGR, jnp.float32)
             stds = jnp.asarray(PIXEL_STDS_BGR, jnp.float32)
             images = (images.astype(jnp.float32) / 255.0 - means) / stds
-        out2d, out3d, outrd = self.model.apply(variables, images,
-                                               method=SMAP.infer)
         if self.do_flip:
-            f2d, _, _ = self.model.apply(variables, images[:, :, ::-1, :],
-                                         method=SMAP.infer)
-            out2d = flip_tta_merge(out2d, f2d, FLIP_ORDER, PAF_FLIP_CHANNEL)
-        return out2d, out3d, outrd
+            # One 2B-batch forward instead of two sequential applies: the
+            # upright and W-flipped halves are independent, so batching
+            # them keeps the MXU fed (reference runs them back to back,
+            # test.py:50-56).
+            b = images.shape[0]
+            both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+            out2d2, out3d2, outrd2 = self.model.apply(variables, both,
+                                                      method=SMAP.infer)
+            out2d = flip_tta_merge(out2d2[:b], out2d2[b:], FLIP_ORDER,
+                                   PAF_FLIP_CHANNEL)
+            return out2d, out3d2[:b], outrd2[:b]
+        return self.model.apply(variables, images, method=SMAP.infer)
 
     def _postprocess(self, refine_variables, out2d, out3d, outrd,
                      scale: ScaleInfo, post_cfg) -> PoseResults:
