@@ -181,7 +181,12 @@ def main() -> None:
     if (jax.default_backend() != "cpu"
             and probe_rate < REROLL_IMGS_PER_SEC
             and full_tries < MAX_FULL_TRIES):
-        record = _make_record(probe_rate, [0.0], [0.0], calibration_s, 2)
+        # One synchronous pass so even a kept probe record carries the
+        # stage attribution (transfer/forward/post) of its grant.
+        _, stage_ms = engine.run_batch_timed(streams[0], scales)
+        record = _make_record(probe_rate, [stage_ms["model_ms"]],
+                              [stage_ms["postproc_ms"]], calibration_s, 2,
+                              [stage_ms["transfer_ms"]])
         if best_prev is None or record["value"] > best_prev["value"]:
             best_prev = record
         os.environ["SMAP_BENCH_BEST"] = json.dumps(best_prev)
