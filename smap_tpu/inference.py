@@ -32,12 +32,13 @@ class SMAPInference:
     """Batched, jit-compiled inference pipeline.
 
     By default the pipeline runs as TWO jitted programs — model forward,
-    then post-processing — instead of one fused program. Per-call dispatch
-    is ~30 ms on the target runtime while the fused ~700-op program was
-    measured ~1.7 s/batch slower than the sum of its stages
-    (docs/perf_notes.md); keeping the seam at the (small) network-output
-    maps also lets XLA pick layouts for each half independently.
-    ``fused=True`` restores the single-program variant for A/B benching.
+    then post-processing. The seam sits at the (small) network-output
+    maps, letting XLA pick layouts for each half independently, and is
+    what makes the overflow fallback and the adaptive capacity ladder
+    possible (the post program is swapped per batch). Async dispatch
+    overlaps the two programs' floors in a pipelined serving loop
+    (docs/perf_notes.md "dispatch-floor finding"). ``fused=True``
+    restores the single-program variant for A/B benching.
 
     Args:
       variables: SMAP Flax variables ({'params', 'batch_stats'}).
