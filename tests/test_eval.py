@@ -223,3 +223,31 @@ def test_panoptic_accumulator(rng):
     acc2 = PanopticAccumulator()
     acc2.update(pred2, gt)
     assert acc2.summary()["detection_rate"] == pytest.approx(2 / 3)
+
+
+def test_eval_panoptic_cli_helper(rng):
+    """scripts/eval_panoptic.py: perfect predictions score PCK15 1.0, full
+    detection; an undetected person lowers the detection rate."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".."))
+    from scripts.eval_panoptic import evaluate_result_json
+
+    P, J = 3, 15
+    gt = np.zeros((P, J, 11), np.float32)
+    gt[..., 3] = 2                      # visible
+    gt[..., 4:7] = rng.rand(P, J, 3) * 100
+    pred = np.concatenate([gt[..., 4:7], np.ones((P, J, 1), np.float32)],
+                          -1)
+    pair = {"gt_2d": gt[..., :4].tolist(), "gt_3d": gt[..., 4:].tolist(),
+            "pred_3d": pred.tolist()}
+    s = evaluate_result_json({"3d_pairs": [pair]})
+    assert s["pck15_abs"] == 1.0 and s["pck15_rel"] == 1.0
+    assert s["detection_rate"] == 1.0 and s["mpjpe_abs_cm"] == 0.0
+
+    # drop the last person's prediction entirely
+    pair2 = {"gt_2d": gt[..., :4].tolist(), "gt_3d": gt[..., 4:].tolist(),
+             "pred_3d": pred[:2].tolist()}
+    s2 = evaluate_result_json({"3d_pairs": [pair2]})
+    assert abs(s2["detection_rate"] - 2 / 3) < 1e-9
