@@ -225,6 +225,13 @@ def main() -> None:
                   flush=True)
             continue
         rates.append(r)
+        # Keep the SIGTERM/crash record fresh: a driver timeout during a
+        # healthy first grant's loop must still report the best completed
+        # window, not 0.0 (stage attribution is filled by the final pass).
+        interim = _make_record(float(np.max(rates)), [0.0], [0.0],
+                               calibration_s, MAX_ITERS)
+        if best_prev is None or interim["value"] > best_prev["value"]:
+            os.environ["SMAP_BENCH_BEST"] = json.dumps(interim)
 
     # Synchronous pass for per-stage attribution (transfer / forward / post).
     trans_ms, model_ms, post_ms = [], [], []

@@ -33,17 +33,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def iter_frames(source: str, watch: bool, poll_s: float = 0.5):
     """Yield image paths; in watch mode, keep polling for new ones and
     yield None after an idle poll (lets the caller flush partial
-    batches instead of stalling on a quiet source)."""
+    batches instead of stalling on a quiet source).
+
+    Long-running watch loops stay bounded and safe against half-written
+    frames: entries for deleted files are evicted from the dedup set, and
+    a file is only yielded once its mtime is at least one poll interval
+    old (a frame still being written would otherwise be decoded
+    truncated — cv2.imread can return partial data, not None).
+    """
     seen = set()
     while True:
         paths = []
         for ext in ("jpg", "png", "jpeg"):
             paths.extend(glob.glob(os.path.join(source, f"**/*.{ext}"),
                                    recursive=True))
-        fresh = [p for p in sorted(paths) if p not in seen]
-        for p in fresh:
+        if watch:
+            seen &= set(paths)   # evict deleted files; keeps `seen` bounded
+        now = time.time()
+        fresh = []
+        for p in sorted(paths):
+            if p in seen:
+                continue
+            if watch:
+                try:
+                    if now - os.stat(p).st_mtime < poll_s:
+                        continue   # possibly still being written; next poll
+                except OSError:
+                    continue       # vanished between glob and stat
             seen.add(p)
-            yield p
+            fresh.append(p)
+        yield from fresh
         if not watch:
             return
         if not fresh:

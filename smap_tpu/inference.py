@@ -66,15 +66,23 @@ class SMAPInference:
         ``(8, 16, 40)``. Post-processing cost is quadratic in the peak
         capacity (the PAF score table is [L, K, K]), but XLA programs are
         static-shape, so dynamic peak counts are served by a LADDER of
-        compiled programs: a cheap dense count of the batch's NMS peaks
-        picks the smallest capacity that fits (escalating to the full
-        ``max_peaks`` program above the top rung). Results are identical
-        to the full-capacity program at every rung — truncation is
-        neutral while counts fit (tests/test_inference.py). Typical
-        scenes (<= 8 peaks/joint) skip ~25x of the capacity-40 PAF
-        sampling FLOPs. Each rung compiles lazily on first use. Requires
-        the split pipeline; mutually exclusive with overflow_fallback
-        (the ladder already escalates).
+        compiled programs. The rung is SPECULATIVE: each batch's post
+        runs immediately at the capacity implied by previous batches'
+        peak counts (no host sync between forward and post dispatch), a
+        dense on-device count rides alongside, and a mis-speculation —
+        the count exceeding the rung, which is exactly the program's own
+        overflow condition — re-runs that batch at a rung that fits
+        (escalating to the full ``max_peaks`` program above the top
+        rung). Results are identical to the full-capacity program at
+        every rung — truncation is neutral while counts fit
+        (tests/test_inference.py). Typical scenes (<= 8 peaks/joint)
+        skip ~25x of the capacity-40 PAF sampling FLOPs. Each rung
+        compiles lazily on first use; ladder programs do not donate the
+        network maps (escalation may re-read them). ``run_batch``
+        resolves each batch before returning; ``run_stream`` defers
+        resolution one batch for full cross-batch device overlap.
+        Requires the split pipeline; mutually exclusive with
+        overflow_fallback (the ladder already escalates).
     """
 
     def __init__(self, variables, cfg: Config = Config(),
@@ -117,6 +125,9 @@ class SMAPInference:
                 return jnp.minimum(jnp.max(counts), cfg.post.max_peaks)
 
             self._jit_counts = jax.jit(smap_inference_peak_counts)
+            # Speculative rung for the next batch (updated from observed
+            # counts); start at the top rung so cold batches never escalate.
+            self._spec_cap = self.adaptive_capacities[-1]
         self.model = SMAP(cfg.model)
         self.refine_model = RefineNet(cfg.refine)
 
@@ -225,13 +236,19 @@ class SMAPInference:
             cx=jnp.asarray([s["cx"] for s in scales], jnp.float32),
             cy=jnp.asarray([s["cy"] for s in scales], jnp.float32))
 
-    def _post_program(self, capacity: int):
-        """Post-processing program at peak capacity ``capacity`` (lazy)."""
+    def _post_program(self, capacity: int, donate: bool = True):
+        """Post-processing program at peak capacity ``capacity`` (lazy).
+
+        ``donate=False`` variants keep the network maps alive after the
+        call — required by the speculative ladder, whose (rare) escalation
+        re-runs the same maps at a higher capacity.
+        """
         import dataclasses
 
-        if capacity == self.cfg.post.assoc_peaks:
+        if donate and capacity == self.cfg.post.assoc_peaks:
             return self._jit_post
-        if capacity not in self._post_cache:
+        key = (capacity, donate)
+        if key not in self._post_cache:
             cap_cfg = dataclasses.replace(self.cfg.post,
                                           assoc_peaks=capacity)
 
@@ -240,9 +257,44 @@ class SMAPInference:
                 return self._postprocess(refine_variables, out2d, out3d,
                                          outrd, scale, cap_cfg)
 
-            self._post_cache[capacity] = jax.jit(
-                smap_inference_postprocess_cap, donate_argnums=(1, 2, 3))
-        return self._post_cache[capacity]
+            self._post_cache[key] = jax.jit(
+                smap_inference_postprocess_cap,
+                donate_argnums=(1, 2, 3) if donate else ())
+        return self._post_cache[key]
+
+    def _rung_for(self, n: int) -> int:
+        """Smallest ladder capacity that fits ``n`` peaks (top = max_peaks)."""
+        return next((c for c in self.adaptive_capacities if c >= n),
+                    self.cfg.post.max_peaks)
+
+    def _ladder_dispatch(self, maps, info):
+        """Dispatch count + speculative-rung post WITHOUT any host sync.
+
+        Returns (results, count_dev, cap): ``results`` were produced at
+        capacity ``cap`` (the rung speculated from previous batches);
+        ``count_dev`` is the device scalar of this batch's true max peak
+        count. The caller resolves correctness later via
+        :meth:`_ladder_resolve` — peak counts and the post programs'
+        overflow flag agree by construction (same local-max mask and
+        threshold), so ``count > cap`` is exactly the escalation
+        condition.
+        """
+        count_dev = self._jit_counts(maps[0])
+        cap = self._spec_cap
+        results = self._post_program(cap, donate=False)(
+            self.refine_variables, *maps, info)
+        return results, count_dev, cap
+
+    def _ladder_resolve(self, maps, info, results, count_dev, cap
+                        ) -> PoseResults:
+        """Fetch the batch's peak count, escalate if the speculative rung
+        truncated, and update the speculation for subsequent batches."""
+        n = int(count_dev)
+        self._spec_cap = self._rung_for(n)
+        if n > cap:   # mis-speculation: re-run at a rung that fits
+            results = self._post_program(self._spec_cap, donate=False)(
+                self.refine_variables, *maps, info)
+        return results
 
     def run_batch(self, images: np.ndarray, scales: Sequence[Dict[str, float]]
                   ) -> PoseResults:
@@ -264,13 +316,16 @@ class SMAPInference:
                                    images, info)
         maps = self._jit_forward(self.variables, images)
         if self.adaptive_capacities:
-            # Capacity ladder: one cheap dense count pass picks the
-            # smallest compiled program that fits this batch's peaks.
-            n = int(self._jit_counts(maps[0]))
-            cap = next((c for c in self.adaptive_capacities if c >= n),
-                       self.cfg.post.max_peaks)
-            return self._post_program(cap)(self.refine_variables, *maps,
-                                           info)
+            # Speculative capacity ladder: post-processing is dispatched
+            # IMMEDIATELY at the rung speculated from previous batches'
+            # peak counts, so no host sync sits between the forward and
+            # post dispatches (the device pipeline runs back-to-back and
+            # the next batch's transfer overlaps). The count fetch below
+            # then overlaps with the post program executing; a
+            # mis-speculation (rare in steady state) re-runs at a rung
+            # that fits. For full cross-batch overlap use run_stream.
+            return self._ladder_resolve(maps, info,
+                                        *self._ladder_dispatch(maps, info))
         if self.overflow_fallback:
             # Keep the maps alive for the potential wide re-run (the fast
             # program donates its inputs).
@@ -281,6 +336,39 @@ class SMAPInference:
                     self.refine_variables, maps[0], maps[1], maps[2], info)
             return results
         return self._jit_post(self.refine_variables, *maps, info)
+
+    def run_stream(self, batches):
+        """Pipelined serving over an iterable of ``(images, scales)``.
+
+        Yields one :class:`PoseResults` per input batch (in order) with ONE
+        batch of latency: while batch ``i``'s forward/post execute on
+        device, batch ``i+1``'s transfer and dispatches are already
+        enqueued, so the host never drains the device pipeline — this is
+        the ladder-compatible version of the bench's async loop. With the
+        adaptive ladder, correctness resolution (count fetch + rare
+        escalation) for batch ``i`` happens only after batch ``i+1`` has
+        been dispatched, by which point the count is already computed.
+
+        Requires the split (``fused=False``) pipeline; works with or
+        without ``adaptive_capacities``.
+        """
+        assert not self.fused, "run_stream needs the split pipeline"
+        pending = None
+        for images, scales in batches:
+            images, info = self._place(images, self._make_scale_info(scales))
+            maps = self._jit_forward(self.variables, images)
+            if self.adaptive_capacities:
+                results, count_dev, cap = self._ladder_dispatch(maps, info)
+                item = (maps, info, results, count_dev, cap)
+            else:
+                item = self._jit_post(self.refine_variables, *maps, info)
+            if pending is not None:
+                yield (self._ladder_resolve(*pending)
+                       if self.adaptive_capacities else pending)
+            pending = item
+        if pending is not None:
+            yield (self._ladder_resolve(*pending)
+                   if self.adaptive_capacities else pending)
 
     def run_batch_timed(self, images: np.ndarray,
                         scales: Sequence[Dict[str, float]]):

@@ -82,7 +82,15 @@ class DownsampleModule(nn.Module):
 
 class UpsampleUnit(nn.Module):
     """One decoder step with three prediction heads
-    (reference: model/smap.py:157-241)."""
+    (reference: model/smap.py:157-241).
+
+    ``heads`` statically masks the (res, res_d, res_rd) head computations:
+    the heads are pure outputs (nothing downstream consumes them except the
+    loss / deployment readout), so inference skips the ones it never reads
+    — see :meth:`SMAP.infer`. Masked heads return None and their parameters
+    are simply not touched (unused entries in the supplied variables are
+    ignored by Flax).
+    """
 
     ind: int
     up_size: Tuple[int, int]
@@ -92,6 +100,7 @@ class UpsampleUnit(nn.Module):
     chl_num: int = 256
     gen_skip: bool = False
     gen_cross_conv: bool = False
+    heads: Tuple[bool, bool, bool] = (True, True, True)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -114,9 +123,10 @@ class UpsampleUnit(nn.Module):
                            name=f"{prefix}_conv2")(h, train)
             return resize_bilinear(h, self.output_shape)
 
-        res = head("res", self.kpt_paf_channels)
-        res_d = head("res_d", self.depth_channels)
-        res_rd = head("res_rd", 1)
+        res = head("res", self.kpt_paf_channels) if self.heads[0] else None
+        res_d = (head("res_d", self.depth_channels) if self.heads[1]
+                 else None)
+        res_rd = head("res_rd", 1) if self.heads[2] else None
 
         skip1 = skip2 = None
         if self.gen_skip:
@@ -133,8 +143,15 @@ class UpsampleUnit(nn.Module):
         return out, res, res_d, res_rd, skip1, skip2, cross_conv
 
 
+ALL_HEADS = ((True, True, True),) * 4
+
+
 class UpsampleModule(nn.Module):
-    """4-scale decoder (reference: model/smap.py:244-286)."""
+    """4-scale decoder (reference: model/smap.py:244-286).
+
+    ``head_spec[i]`` statically masks unit ``i``'s (res, res_d, res_rd)
+    heads — see :class:`UpsampleUnit`.
+    """
 
     output_shape: Tuple[int, int]
     kpt_paf_channels: int
@@ -142,6 +159,7 @@ class UpsampleModule(nn.Module):
     chl_num: int = 256
     gen_skip: bool = False
     gen_cross_conv: bool = False
+    head_spec: Tuple[Tuple[bool, bool, bool], ...] = ALL_HEADS
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -158,6 +176,7 @@ class UpsampleModule(nn.Module):
                 kpt_paf_channels=self.kpt_paf_channels,
                 depth_channels=self.depth_channels, chl_num=self.chl_num,
                 gen_skip=self.gen_skip, gen_cross_conv=self.gen_cross_conv,
+                heads=self.head_spec[i],
                 dtype=self.dtype, name=f"up{i + 1}")
             out, r, rd, rrd, s1, s2, cc = unit(inputs[i], out, train)
             res.append(r)
@@ -184,6 +203,7 @@ class Stage(nn.Module):
     has_skip: bool = False
     gen_skip: bool = False
     gen_cross_conv: bool = False
+    head_spec: Tuple[Tuple[bool, bool, bool], ...] = ALL_HEADS
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -196,6 +216,7 @@ class Stage(nn.Module):
             kpt_paf_channels=self.kpt_paf_channels,
             depth_channels=self.depth_channels, chl_num=self.chl_num,
             gen_skip=self.gen_skip, gen_cross_conv=self.gen_cross_conv,
+            head_spec=self.head_spec,
             dtype=self.dtype, name="upsample")(x4, x3, x2, x1, train)
 
 
@@ -216,8 +237,15 @@ class SMAP(nn.Module):
         return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
 
     @nn.compact
-    def __call__(self, imgs: jnp.ndarray, train: bool = False
+    def __call__(self, imgs: jnp.ndarray, train: bool = False,
+                 head_specs: Optional[Tuple] = None
                  ) -> Dict[str, List[List[jnp.ndarray]]]:
+        """Run all stages. ``head_specs[stage]`` optionally masks head
+        computations per stage/unit (statically — see UpsampleUnit.heads);
+        masked entries come back as None. Default: every head (training
+        needs the full per-stage/per-scale pyramids for the loss,
+        losses.py; reference model/smap.py:330-401 likewise always
+        computes them)."""
         dtype = self._dtype()
         x = imgs.astype(dtype)
         x = ResNetTop(dtype=dtype, name="top")(x, train)
@@ -230,6 +258,10 @@ class SMAP(nn.Module):
             # model/smap.py:40-43; stage-level remat trades the same memory
             # for fewer recompute boundaries).
             stage_cls = nn.remat(Stage, static_argnums=(4,))
+
+        def cast(r):
+            return None if r is None else r.astype(jnp.float32)
+
         for i in range(self.cfg.stage_num):
             last = i == self.cfg.stage_num - 1
             res, res_d, res_rd, skip1, skip2, x = stage_cls(
@@ -238,15 +270,28 @@ class SMAP(nn.Module):
                 depth_channels=self.cfg.num_limbs,
                 chl_num=self.cfg.upsample_channels,
                 has_skip=i > 0, gen_skip=not last, gen_cross_conv=not last,
+                head_spec=(ALL_HEADS if head_specs is None
+                           else head_specs[i]),
                 dtype=dtype, name=f"stage{i}")(x, skip1, skip2, train)
-            outputs["heatmap_2d"].append([r.astype(jnp.float32) for r in res])
-            outputs["det_d"].append([r.astype(jnp.float32) for r in res_d])
-            outputs["root_d"].append([r.astype(jnp.float32) for r in res_rd])
+            outputs["heatmap_2d"].append([cast(r) for r in res])
+            outputs["det_d"].append([cast(r) for r in res_d])
+            outputs["root_d"].append([cast(r) for r in res_rd])
         return outputs
 
     def infer(self, imgs: jnp.ndarray
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        outputs = self(imgs, train=False)
+        # The deployment readout consumes only the LAST stage's finest-3
+        # 2D maps and its finest depth maps, so every other head — all 12
+        # heads of each earlier stage, and the coarse depth heads of the
+        # last — is statically skipped (~15% of forward FLOPs; the trunk,
+        # decoder and cross-stage skips are unchanged). The reference
+        # computes every head and discards them (model/smap.py:403-419).
+        off = (False, False, False)
+        none_stage = (off,) * 4
+        last_stage = (off, (True, False, False), (True, False, False),
+                      (True, True, True))
+        head_specs = (none_stage,) * (self.cfg.stage_num - 1) + (last_stage,)
+        outputs = self(imgs, train=False, head_specs=head_specs)
         hm = outputs["heatmap_2d"][-1]
         outputs_2d = hm[-1] + hm[-2] + hm[-3]
         return outputs_2d, outputs["det_d"][-1][-1], outputs["root_d"][-1][-1]

@@ -132,13 +132,12 @@ def _sample_pallas(paf_x: jnp.ndarray, paf_y: jnp.ndarray,
 def _resolve_impl(impl: str) -> str:
     if impl != "auto":
         return impl
-    # The scalar-gather path serializes on TPU backends: TPU gets the fused
-    # Mosaic kernel, other accelerators the pure-XLA MXU formulation, CPU
-    # the plain gather (fastest there).
-    backend = jax.default_backend()
-    if backend == "tpu":
-        return "pallas"
-    return "gather" if backend == "cpu" else "onehot"
+    # The scalar-gather path serializes on TPU backends, so TPU gets the
+    # fused Mosaic kernel. Every other backend (CPU, GPU, ...) defaults to
+    # the plain gather: gathers are fast there, and the one-hot matmul
+    # formulation pays ~H*W extra FLOPs per sample. "onehot" remains an
+    # explicit opt-in for TPU-like backends without Mosaic support.
+    return "pallas" if jax.default_backend() == "tpu" else "gather"
 
 
 def paf_scores(pafs: jnp.ndarray, peaks: Peaks, limb_pairs: jnp.ndarray, *,

@@ -54,7 +54,9 @@ class StepWindowProfiler:
 
     def __init__(self, log_dir: Optional[str], first_step: int = 10,
                  num_steps: int = 5):
-        self.log_dir = log_dir
+        # A zero-width window must be inert (otherwise the start branch at
+        # it == first_step wins and one step is captured anyway).
+        self.log_dir = log_dir if num_steps > 0 else None
         self.first = first_step
         self.last = first_step + num_steps
         self._active = False

@@ -431,7 +431,9 @@ def test_adaptive_capacity_ladder():
                                                    assoc_peaks=capacity),
                                  net_w=float(W * 4), net_h=float(H * 4))
 
-    # Sparse scene (4 people): the 8-rung fits and must be chosen.
+    # Sparse scene (4 people). The rung is SPECULATIVE: the cold engine
+    # runs the first batch at the top rung (48) — never escalating — and
+    # only then learns the scene is sparse.
     hm, pafs, rdm, _, _ = _synthetic_heatmaps(
         np.random.RandomState(42), num_people=4, h=H, w=W)
     sparse = (jnp.asarray(np.concatenate(
@@ -443,7 +445,8 @@ def test_adaptive_capacity_ladder():
               jnp.asarray(rdm[None, ..., None]))
     feed(sparse)
     res = engine.run_batch(images, scales)
-    assert set(engine._post_cache) == {8}
+    assert set(engine._post_cache) == {(48, False)}
+    assert engine._spec_cap == 8          # learned from the observed count
     ref = wide_ref(sparse)
     n = int(np.asarray(ref.count)[0])
     assert int(np.asarray(res.count)[0]) == n
@@ -451,15 +454,80 @@ def test_adaptive_capacity_ladder():
                                np.asarray(ref.bodies_3d)[0, :n],
                                rtol=1e-4, atol=1e-3)
 
-    # Crowded channel (>48 peaks): escalates past the ladder to max_peaks.
+    # Steady state: the next sparse batch runs on the 8-rung program.
+    res = engine.run_batch(images, scales)
+    assert (8, False) in engine._post_cache
+    assert int(np.asarray(res.count)[0]) == n
+    np.testing.assert_allclose(np.asarray(res.bodies_3d)[0, :n],
+                               np.asarray(ref.bodies_3d)[0, :n],
+                               rtol=1e-4, atol=1e-3)
+
+    # Crowded channel (>48 peaks) arriving while the speculation sits at
+    # the 8-rung: the mis-speculation is detected (count > rung) and the
+    # batch re-runs past the ladder at max_peaks.
     out2d, out3d, outrd = _crowded_maps(H, W, extra_grid=8)
     crowded = tuple(map(jnp.asarray, (out2d, out3d, outrd)))
     feed(crowded)
     res = engine.run_batch(images, scales)
-    assert 127 in engine._post_cache
+    assert (127, False) in engine._post_cache
+    assert engine._spec_cap == 127
     ref = wide_ref(crowded)
     assert int(np.asarray(res.count)[0]) == int(np.asarray(ref.count)[0])
     assert not bool(np.asarray(res.overflow)[0])
+
+
+def test_run_stream_matches_run_batch():
+    """The pipelined run_stream yields, in order, the same resolved results
+    as per-batch run_batch — including across a sparse->crowded->sparse rung
+    switch — with and without the adaptive ladder."""
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.inference import SMAPInference
+
+    H, W = 64, 104
+    scales = [{"scale": 0.433, "img_width": 1920.0, "img_height": 1080.0,
+               "f_x": 1500.0, "f_y": 1500.0, "cx": 960.0, "cy": 540.0}]
+    post = PostProcessConfig(max_peaks=127, assoc_peaks=16)
+    cfg = Config(model=ModelConfig(output_shape=(H, W),
+                                   compute_dtype="float32"),
+                 post=post, input_shape=(H * 4, W * 4), output_shape=(H, W))
+    images = np.zeros((1, H * 4, W * 4, 3), np.float32)
+
+    hm, pafs, rdm, _, _ = _synthetic_heatmaps(
+        np.random.RandomState(42), num_people=4, h=H, w=W)
+    sparse = (jnp.asarray(np.concatenate(
+                  [hm.transpose(1, 2, 0) * 255.0,
+                   pafs.transpose(1, 2, 0) * 127.0], -1)[None]),
+              jnp.asarray(np.random.RandomState(7).randn(
+                  1, H, W, 14).astype(np.float32)),
+              jnp.asarray(rdm[None, ..., None]))
+    crowded = tuple(map(jnp.asarray, _crowded_maps(H, W, extra_grid=8)))
+    sequence = [sparse, sparse, crowded, sparse]
+
+    def make_engine(**kw):
+        engine = SMAPInference({}, cfg, **kw)
+        feeds = iter(sequence)
+        engine._jit_forward = lambda variables, images: tuple(
+            jnp.copy(m) for m in next(feeds))
+        return engine
+
+    for kw in ({"adaptive_capacities": (8, 16, 48)}, {}):
+        ref_engine = make_engine(**kw)
+        refs = [ref_engine.run_batch(images, scales) for _ in sequence]
+        stream_engine = make_engine(**kw)
+        outs = list(stream_engine.run_stream(
+            (images, scales) for _ in sequence))
+        assert len(outs) == len(refs)
+        for got, want in zip(outs, refs):
+            # Tables are capacity-shaped ([B, K, 15, 4]; K = the rung that
+            # served the batch, which may differ between the two engines'
+            # speculation histories) — compare the valid rows.
+            n = int(np.asarray(want.count)[0])
+            assert int(np.asarray(got.count)[0]) == n
+            np.testing.assert_allclose(np.asarray(got.bodies_3d)[0, :n],
+                                       np.asarray(want.bodies_3d)[0, :n],
+                                       rtol=1e-4, atol=1e-3)
 
 
 def test_overflow_fallback_matches_full_capacity():

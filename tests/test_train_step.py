@@ -117,3 +117,63 @@ def test_train_step_with_remat(rng):
     batch = shard_batch(_batch(rng, cfg, 8), mesh)
     state, losses = step(state, batch)
     assert np.isfinite(float(losses["total_loss"]))
+
+
+@pytest.mark.slow
+def test_train_step_descends_on_memorizable_batch(rng):
+    """Optimization sanity (VERDICT r2 item 7): overfitting ONE tiny
+    synthetic batch must drive total_loss down materially — the reference
+    demonstrably trains (exps/stage3_root2/train.py:67-113); this is the
+    equivalent toy-descent proof for the jitted SPMD step.
+
+    Measured curve (CPU, lr=0.1, constant-depth targets so the L1 depth
+    terms don't dominate with their slow linear descent): total_loss
+    1211 -> ~520 over 220 steps, monotone after warmup; the depth losses
+    (loss_bone/loss_root) collapse to ~0 within 20 steps. The >2x gate
+    leaves wide margin over run-to-run jitter while still failing for any
+    broken-gradient/optimizer regression (a dead step plateaus at <1.1x,
+    as seen with mistuned LRs during bring-up)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.models.smap import SMAP
+    from smap_tpu.parallel.mesh import make_mesh, shard_batch
+    from smap_tpu.train.solver import make_optimizer
+    from smap_tpu.train.step import (TrainBatch, create_train_state,
+                                     make_jitted_train_step)
+
+    cfg = _tiny_cfg(stage_num=1, input_shape=(32, 48))
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, base_lr=0.1, warmup_iters=1))
+    h, w = cfg.input_shape
+    b = 2
+    bodys = np.zeros((b, cfg.train.max_people, 15, 11), np.float32)
+    bodys[..., 0] = rng.uniform(0, w - 1, bodys.shape[:3])
+    bodys[..., 1] = rng.uniform(0, h - 1, bodys.shape[:3])
+    bodys[..., 2] = 200.0   # constant depth: delta-Z labels ~0 (see above)
+    bodys[..., 3] = rng.randint(0, 3, bodys.shape[:3])
+    bodys[..., 7] = 1100.0
+    batch = TrainBatch(images=rng.randn(b, h, w, 3).astype(np.float32),
+                       bodys=bodys,
+                       valids=np.ones((b, 57), np.float32),
+                       scales=np.full((b,), 0.5, np.float32))
+
+    mesh = make_mesh(jax.devices()[:1])
+    model = SMAP(cfg.model)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    state = create_train_state(variables, cfg, 1)
+    step = make_jitted_train_step(cfg, mesh, make_optimizer(cfg.train, 1))
+    batch = shard_batch(batch, mesh)
+
+    first = None
+    for _ in range(220):
+        state, losses = step(state, batch)
+        if first is None:
+            first = float(losses["total_loss"])
+    final = float(losses["total_loss"])
+    assert np.isfinite(final)
+    assert first / final > 2.0, (first, final)
+    # The depth L1 terms must have collapsed onto their ~0 targets.
+    assert float(losses["loss_bone"]) < 0.1
+    assert float(losses["loss_root"]) < 0.1
