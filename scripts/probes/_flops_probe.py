@@ -38,6 +38,41 @@ def flops_of(fn, *args) -> float:
     return float(cost["flops"])
 
 
+def main_train():
+    """FLOPs of the full jitted train step (fwd+bwd+Adam+label synthesis,
+    stage-remat recompute included — it's in the optimized HLO). Batch 2:
+    every op in the step scales linearly with batch (global-batch BN means
+    included), so per-image FLOPs transfer to any batch size."""
+    from smap_tpu.parallel.mesh import make_mesh, shard_batch
+    from smap_tpu.train.solver import make_optimizer
+    from smap_tpu.train.step import (TrainBatch, create_train_state,
+                                     make_jitted_train_step)
+
+    b = 2
+    cfg = Config()
+    model = SMAP(cfg.model)
+    h, w = cfg.input_shape
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                               jnp.zeros((1, h, w, 3), jnp.float32))
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                             variables)
+    mesh = make_mesh(jax.devices()[:1])
+    tx = make_optimizer(cfg.train, 1)
+    state = create_train_state(variables, cfg, 1)
+    step = make_jitted_train_step(cfg, mesh, tx)
+    batch = shard_batch(TrainBatch(
+        images=np.zeros((b, h, w, 3), np.float32),
+        bodys=np.zeros((b, cfg.train.max_people, 15, 11), np.float32),
+        valids=np.ones((b, 57), np.float32),
+        scales=np.full((b,), 0.5, np.float32)), mesh)
+    cost = step.lower(state, batch).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    f = float(cost["flops"])
+    print(f"train step (batch {b}, remat): {f/1e12:.3f} TFLOP "
+          f"= {f/b/1e9:.1f} GFLOP/img", flush=True)
+
+
 def main():
     cfg = Config()
     model = SMAP(cfg.model)
@@ -78,4 +113,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        main_train()
+    else:
+        main()

@@ -1,0 +1,37 @@
+"""Golden decode corpus: freeze today's full-pipeline behavior.
+
+The checkpoint-parity proxy (VERDICT r2 item 5): no pretrained .pth or
+MuPoTS data exists in this environment, so the real PCK gate
+(reference exps/stage3_root2/test.py:115 -> lib/eval/mupots_smap.m:245)
+cannot run. What CAN be frozen is the decode chain itself: deterministic
+rendered scenes -> full jitted post-processing at the reference's
+127-peak capacity (extensions/association.cpp:20), float32 — any change
+to NMS, PAF scoring, association, depth chaining or back-projection
+numerics diffs against the committed corpus. Regenerate intentionally
+with tests/make_golden.py after a *reviewed* numerics change.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from make_golden import GOLDEN_PATH, SCENES, decode_scenes
+
+
+def test_decode_matches_golden_corpus():
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)["scenes"]
+    got = decode_scenes()
+    assert len(got) == len(golden) == len(SCENES)
+    for g, want in zip(got, golden):
+        assert g["seed"] == want["seed"]
+        assert g["count"] == want["count"], (g["seed"], g["count"],
+                                             want["count"])
+        for key in ("bodies_2d", "bodies_3d", "root_depth"):
+            np.testing.assert_allclose(
+                np.asarray(g[key]), np.asarray(want[key]),
+                rtol=1e-3, atol=2e-3,
+                err_msg=f"seed {g['seed']} {key} diverged from the golden "
+                        f"corpus — if this numerics change is intentional "
+                        f"and reviewed, regenerate with tests/make_golden.py")

@@ -6,6 +6,7 @@ import sys
 import time
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
@@ -67,3 +68,63 @@ def test_iter_frames_watch_settles_and_evicts(tmp_path):
     _touch_img(tmp_path / "a.jpg")
     _backdate(tmp_path / "a.jpg")
     assert os.path.basename(next(gen)) == "a.jpg"
+
+
+@pytest.mark.slow
+def test_serve_main_end_to_end(tmp_path, monkeypatch):
+    """Drive scripts/serve.py's main() loop for real (VERDICT r2 item 8):
+    tiny random-weight model, a directory of frames, ladder on, watch off.
+    Covers letterbox -> I420 packing -> batched engine (partial final
+    batch padding) -> JSONL sink, i.e. the whole serving path the other
+    tests only touched piecewise."""
+    import json
+    import sys as _sys
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    import scripts.serve as serve
+    import scripts.test_smap as test_smap
+    import smap_tpu.config as config_mod
+    from smap_tpu.config import Config, ModelConfig
+
+    H, W = 64, 96
+    tiny_cfg = Config(
+        model=ModelConfig(output_shape=(H // 4, W // 4),
+                          compute_dtype="float32"),
+        input_shape=(H, W), output_shape=(H // 4, W // 4))
+    monkeypatch.setattr(config_mod, "Config", lambda: tiny_cfg)
+
+    def fake_load(args, cfg):
+        from smap_tpu.models.smap import SMAP
+
+        model = SMAP(cfg.model)
+        return jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *cfg.input_shape, 3), jnp.float32))
+
+    monkeypatch.setattr(test_smap, "load_smap_variables", fake_load)
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):   # 3 frames at batch 2 -> one full + one padded batch
+        cv2.imwrite(str(src / f"f{i}.jpg"),
+                    rng.randint(0, 255, (240, 320, 3), np.uint8))
+    out = tmp_path / "poses.jsonl"
+    monkeypatch.setattr(_sys, "argv", [
+        "serve.py", "--source", str(src), "--out", str(out),
+        "--batch_size", "2", "--adaptive-capacities", "4,8"])
+    serve.main()
+
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 3
+    names = sorted(os.path.basename(l["image_path"]) for l in lines)
+    assert names == ["f0.jpg", "f1.jpg", "f2.jpg"]
+    for item in lines:
+        assert set(item) >= {"pred_2d", "pred_3d", "root_d", "image_path"}
+        # random weights on noise frames legitimately detect 0 people;
+        # the schema (lists) is the contract
+        assert isinstance(item["pred_2d"], list)
+        assert isinstance(item["pred_3d"], list)
