@@ -191,12 +191,25 @@ def main() -> None:
         """Aggregate img/s with all iterations enqueued asynchronously:
         JAX async dispatch overlaps each batch's 65 MB host->device
         transfer with the previous batch's device compute, as a production
-        serving loop would."""
+        serving loop would.
+
+        Replay detection by RESULT CONTENT, not just timing: in the
+        relay's replay state a known program returns one cached result
+        regardless of input, so distinct inputs yielding bit-identical
+        outputs prove the work wasn't executed — return 0.0 (discard)."""
         t0 = time.perf_counter()
         results = [engine.run_batch(streams[i % N_STREAMS], scales)
                    for i in range(iters)]
         jax.block_until_ready(results)
-        return iters * BATCH / (time.perf_counter() - t0)
+        rate = iters * BATCH / (time.perf_counter() - t0)
+        sums = [float(jnp.sum(jnp.abs(r.bodies_2d)))
+                + float(jnp.sum(r.count)) for r in results]
+        if iters > 1 and len(set(sums)) == 1:
+            print(f"# window {rate:.0f} img/s returned IDENTICAL results "
+                  f"for distinct inputs -> replay state, discarded",
+                  file=sys.stderr, flush=True)
+            return 0.0
+        return rate
 
     # Grant-quality gate on the *full* pipeline: the small-probe calibration
     # misses grants that only penalize long programs.

@@ -99,18 +99,28 @@ def main() -> None:
         jax.block_until_ready(losses)
         print(f"# b={b}: compile+first {time.perf_counter()-t0:.1f} s",
               file=sys.stderr, flush=True)
-        times = []
+        times, loss_values = [], []
         for i in range(STEPS):
             t0 = time.perf_counter()
             state, losses = step(state, staged[i + 1])
             jax.block_until_ready(losses)
             dt = (time.perf_counter() - t0) * 1e3
+            loss_values.append(float(losses["total_loss"]))
             if dt < min_ms:
                 print(f"# b={b}: draw {dt:.1f} ms < {min_ms:.1f} physical "
                       f"floor -> replay, discarded", file=sys.stderr,
                       flush=True)
                 continue
             times.append(dt)
+        # Replay detection by content: every step has distinct inputs AND
+        # an evolving optimizer state, so bit-identical losses mean the
+        # relay replayed a cached result instead of executing.
+        if len(set(loss_values)) == 1:
+            print(f"# b={b}: IDENTICAL losses across distinct steps -> "
+                  f"replay state, row discarded", file=sys.stderr,
+                  flush=True)
+            table[b] = None
+            continue
         if not times:
             table[b] = None
             continue

@@ -40,6 +40,10 @@ def timed(fn, *args):
 
 def main():
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    if jax.default_backend() != "cpu":
+        from bench import _maybe_reexec_for_healthy_grant
+
+        _maybe_reexec_for_healthy_grant()   # roll off degraded grants
     rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
 
     # 1) Single big matmul, host-verified rows.
@@ -53,15 +57,17 @@ def main():
                        preferred_element_type=jnp.float32)
 
     da, db = jax.device_put(a), jax.device_put(b)
-    out = np.asarray(mm(da, db))
     rows = rng.randint(0, d, 4)
+    # Fetch ONLY the checked rows (the full 256 MB product would take
+    # minutes over a bad link draw).
+    out = np.asarray(mm(da, db)[rows])
     # Host reference with the same bf16 input rounding; normalize by the
     # row RMS (element-wise relative error is meaningless where the dot
     # products cancel to ~0).
     a16 = np.asarray(jnp.asarray(a[rows], jnp.bfloat16), np.float32)
     b16 = np.asarray(jnp.asarray(b, jnp.bfloat16), np.float32)
     want = a16 @ b16
-    err = (np.max(np.abs(out[rows] - want), axis=1)
+    err = (np.max(np.abs(out - want), axis=1)
            / np.sqrt(np.mean(want ** 2, axis=1)))
     print(f"matmul correctness: max err/rowRMS {np.max(err):.3e} "
           f"({'OK' if np.max(err) < 0.05 else 'WRONG RESULTS'})",

@@ -132,6 +132,31 @@ class TestPafScores:
         np.testing.assert_allclose(np.asarray(t_onehot), np.asarray(t_gather),
                                    atol=1e-6, rtol=0)
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_parts2_split_is_serving_grade(self, seed):
+        """PostProcessConfig.paf_parts=2 (one fewer bf16 split term -> 2/3
+        of the PAF matmul FLOPs) must stay within float-noise of the exact
+        parts=3 reconstruction: PAF values are quantized to 1/127 by the
+        wire format and the decision thresholds are O(0.05-0.1)
+        (extensions/gpu/bodyPartConnectorBase.cu:44-56), so a <=1e-4 score
+        perturbation cannot flip an association decision that wasn't
+        already a coin toss."""
+        import jax.numpy as jnp
+        from smap_tpu.config import PAF_VECTOR
+        from smap_tpu.ops.nms import extract_peaks
+        from smap_tpu.ops.paf import paf_scores
+
+        rng = np.random.RandomState(seed)
+        hm, pafs, _, _, _ = _synthetic_heatmaps(rng)
+        peaks = extract_peaks(jnp.asarray(hm), max_peaks=31)
+        pairs = jnp.asarray(PAF_VECTOR, jnp.int32)
+        t3 = paf_scores(jnp.asarray(pafs), peaks, pairs, impl="onehot",
+                        parts=3)
+        t2 = paf_scores(jnp.asarray(pafs), peaks, pairs, impl="onehot",
+                        parts=2)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t3),
+                                   atol=1e-4, rtol=0)
+
 
 class TestAssociation:
     @pytest.mark.parametrize("seed", [0, 1, 2])
