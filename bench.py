@@ -313,6 +313,11 @@ def _make_record(imgs_per_sec, model_ms, post_ms, calibration_s, iters,
         "batch": BATCH,
         "iters": iters,
         "input": "i420",
+        # Stage times are per-call synchronous and so INCLUDE the grant's
+        # 10-30 ms per-program dispatch floor; windowed device time is
+        # lower (e.g. forward ~60 ms vs ~87 per-call — perf_notes round 3)
+        # and the pipelined headline value already reflects that.
+        "attribution": "per-call sync (floor-inclusive)",
     }
 
 

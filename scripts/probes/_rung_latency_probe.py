@@ -31,8 +31,23 @@ CAPS = (8, 16, 40, 127)
 MIN_MS = 1.0
 
 
+def _reexec(reason: str, max_tries: int = 4) -> None:
+    tries = int(os.environ.get("SMAP_PROBE_TRY", "0"))
+    if tries >= max_tries:
+        print(f"# {reason}; out of re-rolls — giving up", flush=True)
+        sys.exit(0)
+    os.environ["SMAP_PROBE_TRY"] = str(tries + 1)
+    print(f"# {reason}; re-rolling grant (try {tries + 1})", flush=True)
+    sys.stdout.flush()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     print("backend:", jax.default_backend(), flush=True)
+    if jax.default_backend() != "cpu":
+        from bench import _maybe_reexec_for_healthy_grant
+
+        _maybe_reexec_for_healthy_grant()
 
     import dataclasses
 
@@ -72,11 +87,17 @@ def main():
         print(f"cap={cap}: compile+first {time.perf_counter()-t0:.1f} s",
               flush=True)
         t0 = time.perf_counter()
-        jax.block_until_ready([jit_post(*staged[i + 1], info)
-                               for i in range(ITERS)])
+        outs = [jit_post(*staged[i + 1], info) for i in range(ITERS)]
+        jax.block_until_ready(outs)
         ms = (time.perf_counter() - t0) * 1e3 / ITERS
-        flag = "  [REPLAY-SUSPECT window]" if ms < MIN_MS else ""
-        print(f"cap={cap}: {ms:.1f} ms/batch-{BATCH}{flag}", flush=True)
+        # Content check: distinct random maps must decode differently.
+        sums = [float(jnp.sum(o.bodies_2d)) + float(jnp.sum(o.count))
+                for o in outs]
+        if ms < MIN_MS or len(set(sums)) == 1:
+            _reexec(f"cap={cap}: window {ms:.2f} ms "
+                    f"({'identical outputs' if len(set(sums)) == 1 else 'sub-floor'})"
+                    f" -> replay state")
+        print(f"cap={cap}: {ms:.1f} ms/batch-{BATCH}", flush=True)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,11 @@ def main() -> None:
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--adaptive-capacities", default="8,16,40",
                         help="peak-capacity ladder ('' disables)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantized forward (BN folded, dynamic "
+                             "activation quant; 2x MXU rate on v5e at a "
+                             "small accuracy cost — see "
+                             "smap_tpu/models/quantize.py)")
     parser.add_argument("--out", default="-",
                         help="output JSONL path ('-' = stdout)")
     args = parser.parse_args()
@@ -112,7 +117,8 @@ def main() -> None:
     ladder = (tuple(int(c) for c in args.adaptive_capacities.split(","))
               if args.adaptive_capacities else None)
     engine = SMAPInference(variables, cfg, refine_variables,
-                           adaptive_capacities=ladder)
+                           adaptive_capacities=ladder,
+                           quantized=args.int8)
     sink = sys.stdout if args.out == "-" else open(args.out, "a")
 
     pending, names, scales = [], [], []

@@ -115,6 +115,12 @@ class ModelConfig:
     # RUN_EFFICIENT per-conv torch.utils.checkpoint, config.py:64, expressed
     # as stage-level jax.checkpoint so XLA can still fuse within a stage).
     remat: bool = False
+    # int8 serving forward (inference-only): BN folded, per-channel int8
+    # weights (smap_tpu.models.quantize.quantize_variables), dynamic
+    # per-tensor activation quantization, convs on the int8 MXU (2x the
+    # bf16 rate on v5e). Opt-in speed/accuracy trade — not used by parity
+    # tests or the golden corpus.
+    quantized: bool = False
 
     @property
     def kpt_paf_channels(self) -> int:

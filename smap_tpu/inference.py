@@ -83,18 +83,37 @@ class SMAPInference:
         resolution one batch for full cross-batch device overlap.
         Requires the split pipeline; mutually exclusive with
         overflow_fallback (the ladder already escalates).
+      quantized: int8 serving forward — folds BatchNorm and pre-quantizes
+        the weights once (smap_tpu.models.quantize), then runs convs
+        int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e) with
+        dynamic per-tensor activation quantization. Opt-in
+        speed/accuracy trade (tests/test_quantize.py pins the error);
+        ignored if cfg.model.quantized is already set (variables are
+        then expected to be pre-quantized).
     """
 
     def __init__(self, variables, cfg: Config = Config(),
                  refine_variables=None, do_flip: bool = False,
                  fused: bool = False, overflow_fallback: bool = False,
-                 adaptive_capacities=None, mesh=None):
+                 adaptive_capacities=None, mesh=None,
+                 quantized: bool = False):
         if fused and (overflow_fallback or adaptive_capacities):
             raise ValueError("overflow_fallback/adaptive_capacities require "
                              "the split (fused=False) pipeline")
         if overflow_fallback and adaptive_capacities:
             raise ValueError("adaptive_capacities already escalates; don't "
                              "combine it with overflow_fallback")
+        if quantized and not cfg.model.quantized:
+            # int8 serving: fold BN + pre-quantize weights once (jitted —
+            # eager op-by-op transforms are pathological on the tunneled
+            # runtime), then run the quant model graph.
+            import dataclasses
+
+            from smap_tpu.models.quantize import quantize_variables
+
+            variables = jax.jit(quantize_variables)(variables)
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, quantized=True))
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:

@@ -101,18 +101,43 @@ def matmul_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
 
 class Conv2D(nn.Module):
     """2D convolution with selectable lowering; parameters match nn.Conv
-    (HWIO 'kernel' + 'bias') so torch-checkpoint conversion is unchanged."""
+    (HWIO 'kernel' + 'bias') so torch-checkpoint conversion is unchanged.
+
+    ``quant=True`` switches to the int8 serving path: parameters are the
+    pre-quantized {kernel_q int8, kernel_scale f32[co], bias f32} produced
+    by smap_tpu.models.quantize.quantize_variables (BN already folded into
+    them), activations are dynamically quantized per tensor on device, and
+    the conv runs int8 x int8 -> int32 on the MXU (2x the bf16 rate on
+    v5e). Output is dequantized f32 then cast to ``dtype``.
+    """
 
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0))
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
         cin = x.shape[-1]
+        if self.quant:
+            kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                                  (kh, kw, cin, self.features), jnp.int8)
+            kernel_scale = self.param("kernel_scale", nn.initializers.ones,
+                                      (self.features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            xf = x.astype(jnp.float32)
+            s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, kernel_q, self.strides, list(self.padding),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (s_x * kernel_scale) + bias
+            return y.astype(self.dtype)
         kernel = self.param(
             "kernel", nn.initializers.kaiming_normal(),
             (kh, kw, cin, self.features), jnp.float32)
@@ -143,6 +168,7 @@ class ConvBnRelu(nn.Module):
     padding: Any = "SAME"
     has_bn: bool = True
     has_relu: bool = True
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -153,8 +179,11 @@ class ConvBnRelu(nn.Module):
         else:
             pad = tuple(tuple(p) for p in self.padding)
         x = Conv2D(self.features, self.kernel_size, strides=self.strides,
-                   padding=pad, dtype=self.dtype, name="conv")(x)
-        if self.has_bn:
+                   padding=pad, quant=self.quant, dtype=self.dtype,
+                   name="conv")(x)
+        if self.has_bn and not self.quant:
+            # quant mode: BN is already folded into the int8 kernel/bias
+            # (smap_tpu.models.quantize), inference-only by construction.
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              param_dtype=jnp.float32, name="bn")(x)
@@ -169,23 +198,26 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     has_downsample: bool = False
+    quant: bool = False
     dtype: Dtype = jnp.float32
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        out = ConvBnRelu(self.planes, (1, 1), dtype=self.dtype,
-                         name="conv_bn_relu1")(x, train)
+        out = ConvBnRelu(self.planes, (1, 1), quant=self.quant,
+                         dtype=self.dtype, name="conv_bn_relu1")(x, train)
         out = ConvBnRelu(self.planes, (3, 3), strides=(self.stride, self.stride),
-                         padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                         name="conv_bn_relu2")(out, train)
+                         padding=[(1, 1), (1, 1)], quant=self.quant,
+                         dtype=self.dtype, name="conv_bn_relu2")(out, train)
         out = ConvBnRelu(self.planes * self.expansion, (1, 1), has_relu=False,
-                         dtype=self.dtype, name="conv_bn_relu3")(out, train)
+                         quant=self.quant, dtype=self.dtype,
+                         name="conv_bn_relu3")(out, train)
         if self.has_downsample:
             x = ConvBnRelu(self.planes * self.expansion, (1, 1),
                            strides=(self.stride, self.stride), has_relu=False,
-                           dtype=self.dtype, name="downsample")(x, train)
-        return nn.relu(out + x)
+                           quant=self.quant, dtype=self.dtype,
+                           name="downsample")(x, train)
+        return nn.relu(out + x.astype(out.dtype))
 
 
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:

@@ -41,12 +41,14 @@ UPSAMPLE_IN_PLANES = (2048, 1024, 512, 256)
 class ResNetTop(nn.Module):
     """Stem: 7x7/2 conv + 3x3/2 max-pool (reference: model/smap.py:80-92)."""
 
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = ConvBnRelu(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                       dtype=self.dtype, name="conv")(x, train)
+                       quant=self.quant, dtype=self.dtype,
+                       name="conv")(x, train)
         return max_pool_3x3_s2(x)
 
 
@@ -54,6 +56,7 @@ class DownsampleModule(nn.Module):
     """ResNet-50 trunk emitting 4 scales (reference: model/smap.py:95-154)."""
 
     has_skip: bool = False
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +73,7 @@ class DownsampleModule(nn.Module):
                 s = stride if bi == 0 else 1
                 has_ds = bi == 0 and (s != 1 or in_planes != planes * 4)
                 x = Bottleneck(planes, stride=s, has_downsample=has_ds,
-                               dtype=self.dtype,
+                               quant=self.quant, dtype=self.dtype,
                                name=f"layer{li + 1}_{bi}")(x, train)
                 in_planes = planes * 4
             if self.has_skip:
@@ -101,25 +104,30 @@ class UpsampleUnit(nn.Module):
     gen_skip: bool = False
     gen_cross_conv: bool = False
     heads: Tuple[bool, bool, bool] = (True, True, True)
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, up_x: Optional[jnp.ndarray],
                  train: bool = False):
         out = ConvBnRelu(self.chl_num, (1, 1), has_relu=False,
-                         dtype=self.dtype, name="u_skip")(x, train)
+                         quant=self.quant, dtype=self.dtype,
+                         name="u_skip")(x, train)
         if self.ind > 0:
             up_x = resize_bilinear(up_x, self.up_size)
             up_x = ConvBnRelu(self.chl_num, (1, 1), has_relu=False,
-                              dtype=self.dtype, name="up_conv")(up_x, train)
+                              quant=self.quant, dtype=self.dtype,
+                              name="up_conv")(up_x, train)
             out = out + up_x
         out = nn.relu(out)
 
         def head(prefix: str, channels: int) -> jnp.ndarray:
-            h = ConvBnRelu(self.chl_num, (1, 1), dtype=self.dtype,
+            h = ConvBnRelu(self.chl_num, (1, 1), quant=self.quant,
+                           dtype=self.dtype,
                            name=f"{prefix}_conv1")(out, train)
             h = ConvBnRelu(channels, (3, 3), padding=[(1, 1), (1, 1)],
-                           has_relu=False, dtype=self.dtype,
+                           has_relu=False, quant=self.quant,
+                           dtype=self.dtype,
                            name=f"{prefix}_conv2")(h, train)
             return resize_bilinear(h, self.output_shape)
 
@@ -131,14 +139,15 @@ class UpsampleUnit(nn.Module):
         skip1 = skip2 = None
         if self.gen_skip:
             in_planes = x.shape[-1]
-            skip1 = ConvBnRelu(in_planes, (1, 1), dtype=self.dtype,
-                               name="skip1")(x, train)
-            skip2 = ConvBnRelu(in_planes, (1, 1), dtype=self.dtype,
-                               name="skip2")(out, train)
+            skip1 = ConvBnRelu(in_planes, (1, 1), quant=self.quant,
+                               dtype=self.dtype, name="skip1")(x, train)
+            skip2 = ConvBnRelu(in_planes, (1, 1), quant=self.quant,
+                               dtype=self.dtype, name="skip2")(out, train)
 
         cross_conv = None
         if self.ind == 3 and self.gen_cross_conv:
-            cross_conv = ConvBnRelu(64, (1, 1), dtype=self.dtype,
+            cross_conv = ConvBnRelu(64, (1, 1), quant=self.quant,
+                                    dtype=self.dtype,
                                     name="cross_conv")(out, train)
         return out, res, res_d, res_rd, skip1, skip2, cross_conv
 
@@ -160,6 +169,7 @@ class UpsampleModule(nn.Module):
     gen_skip: bool = False
     gen_cross_conv: bool = False
     head_spec: Tuple[Tuple[bool, bool, bool], ...] = ALL_HEADS
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -176,7 +186,7 @@ class UpsampleModule(nn.Module):
                 kpt_paf_channels=self.kpt_paf_channels,
                 depth_channels=self.depth_channels, chl_num=self.chl_num,
                 gen_skip=self.gen_skip, gen_cross_conv=self.gen_cross_conv,
-                heads=self.head_spec[i],
+                heads=self.head_spec[i], quant=self.quant,
                 dtype=self.dtype, name=f"up{i + 1}")
             out, r, rd, rrd, s1, s2, cc = unit(inputs[i], out, train)
             res.append(r)
@@ -204,19 +214,20 @@ class Stage(nn.Module):
     gen_skip: bool = False
     gen_cross_conv: bool = False
     head_spec: Tuple[Tuple[bool, bool, bool], ...] = ALL_HEADS
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip1, skip2, train: bool = False):
         x4, x3, x2, x1 = DownsampleModule(
-            has_skip=self.has_skip, dtype=self.dtype,
+            has_skip=self.has_skip, quant=self.quant, dtype=self.dtype,
             name="downsample")(x, skip1, skip2, train)
         return UpsampleModule(
             output_shape=self.output_shape,
             kpt_paf_channels=self.kpt_paf_channels,
             depth_channels=self.depth_channels, chl_num=self.chl_num,
             gen_skip=self.gen_skip, gen_cross_conv=self.gen_cross_conv,
-            head_spec=self.head_spec,
+            head_spec=self.head_spec, quant=self.quant,
             dtype=self.dtype, name="upsample")(x4, x3, x2, x1, train)
 
 
@@ -248,7 +259,8 @@ class SMAP(nn.Module):
         computes them)."""
         dtype = self._dtype()
         x = imgs.astype(dtype)
-        x = ResNetTop(dtype=dtype, name="top")(x, train)
+        x = ResNetTop(quant=self.cfg.quantized, dtype=dtype,
+                      name="top")(x, train)
         outputs = {"heatmap_2d": [], "det_d": [], "root_d": []}
         skip1 = skip2 = None
         stage_cls = Stage
@@ -272,6 +284,7 @@ class SMAP(nn.Module):
                 has_skip=i > 0, gen_skip=not last, gen_cross_conv=not last,
                 head_spec=(ALL_HEADS if head_specs is None
                            else head_specs[i]),
+                quant=self.cfg.quantized,
                 dtype=dtype, name=f"stage{i}")(x, skip1, skip2, train)
             outputs["heatmap_2d"].append([cast(r) for r in res])
             outputs["det_d"].append([cast(r) for r in res_d])
