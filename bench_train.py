@@ -73,9 +73,15 @@ def main() -> None:
 
     rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
     h, w = cfg.input_shape
+    # State creation is batch-independent; build it ONCE as a single jitted
+    # program (eager tx.init dispatches hundreds of tiny ops through the
+    # tunnel — slow and a source of transient backend errors), then clone
+    # it per row (the step donates its input state).
+    state0 = jax.jit(lambda v: create_train_state(v, cfg, 1))(variables)
+    clone_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
     table = {}
     for b in BATCHES:
-        state = create_train_state(variables, cfg, 1)
+        state = clone_state(state0)
         min_ms = MIN_MS_PER_IMG * b
 
         def make_batch():

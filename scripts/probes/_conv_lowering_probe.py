@@ -31,7 +31,7 @@ BATCH = 16
 ITERS = 6
 
 
-def measure(tag, fn, variables, streams):
+def measure(tag, fn, variables, streams, min_ms=MIN_MS):
     t0 = time.perf_counter()
     jax.block_until_ready(fn(variables, streams[0]))
     print(f"{tag}: compile+first {time.perf_counter()-t0:.1f} s",
@@ -61,8 +61,8 @@ def measure(tag, fn, variables, streams):
         times.append(dt)
     print(f"{tag}: window {win_ms:.1f} ms/call; per-call "
           f"[{', '.join(f'{t:.0f}' for t in times)}]", flush=True)
-    if win_ms < MIN_MS:
-        print(f"{tag}: window {win_ms:.1f} ms < {MIN_MS:.1f} physical "
+    if win_ms < min_ms:
+        print(f"{tag}: window {win_ms:.1f} ms < {min_ms:.1f} physical "
               f"floor -> replay state, window unusable", flush=True)
         return None
     print(f"{tag}: {win_ms:.1f} ms/batch-{BATCH} "
@@ -99,6 +99,23 @@ def main():
     results = {}
     impls = sys.argv[1:] or ["xla", "matmul"]
     for impl in impls:
+        if impl == "int8":
+            # Full int8-quantized forward (BN folded, dynamic act quant):
+            # the honest end-to-end test of the --int8 serving mode.
+            import dataclasses
+
+            from smap_tpu.models.quantize import quantize_variables
+
+            qvars = jax.jit(quantize_variables)(variables)
+            qmodel = SMAP(dataclasses.replace(cfg.model, quantized=True))
+
+            def qfwd(v, x):
+                return qmodel.apply(v, x, method=SMAP.infer)
+
+            # int8 peak is 2x bf16 on v5e -> the physical floor halves.
+            results[impl] = measure("conv=int8", jax.jit(qfwd), qvars,
+                                    streams, min_ms=MIN_MS / 2)
+            continue
         layers.CONV_IMPL = impl
 
         def fwd(v, x, _impl=impl):   # fresh identity -> fresh jit cache

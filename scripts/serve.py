@@ -83,9 +83,9 @@ def main() -> None:
                         help="peak-capacity ladder ('' disables)")
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantized forward (BN folded, dynamic "
-                             "activation quant; 2x MXU rate on v5e at a "
-                             "small accuracy cost — see "
-                             "smap_tpu/models/quantize.py)")
+                             "activation quant; small accuracy cost — "
+                             "see smap_tpu/models/quantize.py and the "
+                             "runtime caveat in docs/perf_notes.md)")
     parser.add_argument("--out", default="-",
                         help="output JSONL path ('-' = stdout)")
     args = parser.parse_args()

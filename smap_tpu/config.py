@@ -117,9 +117,11 @@ class ModelConfig:
     remat: bool = False
     # int8 serving forward (inference-only): BN folded, per-channel int8
     # weights (smap_tpu.models.quantize.quantize_variables), dynamic
-    # per-tensor activation quantization, convs on the int8 MXU (2x the
-    # bf16 rate on v5e). Opt-in speed/accuracy trade — not used by parity
-    # tests or the golden corpus.
+    # per-tensor activation quantization, convs int8 x int8 -> int32.
+    # Opt-in speed/accuracy trade — not used by parity tests or the
+    # golden corpus. NOTE: measured ~9% slower than bf16 on the current
+    # tunneled v5e runtime (no native int8 conv lowering there); see
+    # docs/perf_notes.md round-3 item 9.
     quantized: bool = False
 
     @property
