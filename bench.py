@@ -63,11 +63,14 @@ I420_BYTES_PER_BATCH = BATCH * (512 * 832 * 3 // 2)   # ~10.0 MB
 # (scripts/probes/_link_probe.py, round 3); pad generously — the guard
 # only needs to catch replay states, which are 10x+ beyond physical.
 MAX_LINK_BYTES_PER_SEC = 1.5e9
-# Fastest physically possible batch period: forward at chip peak plus the
-# input transfer at the best link rate ever seen (post-processing >= 0).
-MIN_BATCH_PERIOD_S = (FORWARD_TFLOP_PER_BATCH / V5E_PEAK_TFLOPS
-                      + I420_BYTES_PER_BATCH / MAX_LINK_BYTES_PER_SEC)
-REPLAY_SUSPECT_IMGS_PER_SEC = BATCH / MIN_BATCH_PERIOD_S   # ~360 img/s
+# Fastest physically possible batch period for the PIPELINED loop: the
+# transfer overlaps compute (async dispatch), so the period is the MAX of
+# the forward at chip peak and the transfer at the best link rate ever
+# seen — not their sum (post-processing >= 0). Forward dominates: ~25.5 ms
+# vs ~6.8 ms, so the ceiling is ~627 img/s.
+MIN_BATCH_PERIOD_S = max(FORWARD_TFLOP_PER_BATCH / V5E_PEAK_TFLOPS,
+                         I420_BYTES_PER_BATCH / MAX_LINK_BYTES_PER_SEC)
+REPLAY_SUSPECT_IMGS_PER_SEC = BATCH / MIN_BATCH_PERIOD_S   # ~627 img/s
 # Fastest physically possible forward time for one batch (stage guard).
 MIN_MODEL_MS = FORWARD_TFLOP_PER_BATCH / V5E_PEAK_TFLOPS * 1e3  # ~25.5 ms
 
@@ -187,6 +190,20 @@ def main() -> None:
     full_tries = int(os.environ.get("SMAP_BENCH_FULL_TRY", "0"))
     best_prev = json.loads(os.environ.get("SMAP_BENCH_BEST", "null"))
 
+    def forward_content_differs() -> bool:
+        """Direct replay probe for the ambiguous all-identical case: run
+        the forward program (split mode) on two DISTINCT input batches and
+        compare a dense reduction of the raw network maps, which is
+        input-dependent regardless of how many people are detected."""
+        if fused:
+            return False   # can't separate the forward; stay conservative
+        vals = []
+        for s in (streams[0], streams[1]):
+            imgs, _ = engine._place(s, scales)
+            maps = engine._jit_forward(engine.variables, imgs)
+            vals.append(float(jnp.sum(jnp.abs(maps[0].astype(jnp.float32)))))
+        return vals[0] != vals[1]
+
     def measure_pipelined(iters: int) -> float:
         """Aggregate img/s with all iterations enqueued asynchronously:
         JAX async dispatch overlaps each batch's 65 MB host->device
@@ -196,7 +213,11 @@ def main() -> None:
         Replay detection by RESULT CONTENT, not just timing: in the
         relay's replay state a known program returns one cached result
         regardless of input, so distinct inputs yielding bit-identical
-        outputs prove the work wasn't executed — return 0.0 (discard)."""
+        outputs prove the work wasn't executed — return 0.0 (discard).
+        Caveat: identical results are also legitimate when every stream
+        detects 0 people (zero tables regardless of input), so that case
+        is disambiguated with a direct forward-content probe instead of
+        being discarded outright."""
         t0 = time.perf_counter()
         results = [engine.run_batch(streams[i % N_STREAMS], scales)
                    for i in range(iters)]
@@ -205,6 +226,8 @@ def main() -> None:
         sums = [float(jnp.sum(jnp.abs(r.bodies_2d)))
                 + float(jnp.sum(r.count)) for r in results]
         if iters > 1 and len(set(sums)) == 1:
+            if sums[0] == 0.0 and forward_content_differs():
+                return rate   # real all-zero detections, not a replay
             print(f"# window {rate:.0f} img/s returned IDENTICAL results "
                   f"for distinct inputs -> replay state, discarded",
                   file=sys.stderr, flush=True)

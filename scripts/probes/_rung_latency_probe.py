@@ -37,6 +37,9 @@ def _reexec(reason: str, max_tries: int = 4) -> None:
         print(f"# {reason}; out of re-rolls — giving up", flush=True)
         sys.exit(0)
     os.environ["SMAP_PROBE_TRY"] = str(tries + 1)
+    # Give the fresh process its full calibration re-roll budget (an
+    # inherited exhausted counter would accept a degraded grant silently).
+    os.environ["SMAP_BENCH_TRY"] = "0"
     print(f"# {reason}; re-rolling grant (try {tries + 1})", flush=True)
     sys.stdout.flush()
     os.execv(sys.executable, [sys.executable] + sys.argv)

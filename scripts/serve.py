@@ -56,7 +56,11 @@ def iter_frames(source: str, watch: bool, poll_s: float = 0.5):
                 continue
             if watch:
                 try:
-                    if now - os.stat(p).st_mtime < poll_s:
+                    # Settled = mtime at least one poll old. Absolute age
+                    # (not `now - mtime < poll_s`): a future mtime from a
+                    # skewed producer clock must not withhold the frame
+                    # until wall-clock time catches up with it.
+                    if abs(now - os.stat(p).st_mtime) < poll_s:
                         continue   # possibly still being written; next poll
                 except OSError:
                     continue       # vanished between glob and stat

@@ -51,10 +51,15 @@ def test_iter_frames_watch_yields_new_and_idle(tmp_path):
     assert names == ["b.jpg"]
 
 
-def test_iter_frames_watch_settles_and_evicts(tmp_path):
+def test_iter_frames_watch_settles_and_evicts(tmp_path, monkeypatch):
+    import scripts.serve as serve_mod
     from scripts.serve import iter_frames
 
-    gen = iter_frames(str(tmp_path), watch=True, poll_s=0.05)
+    # A wide settle window makes the "fresh mtime is held back" assertion
+    # immune to slow-host scheduling gaps between imwrite and the
+    # generator's stat; no-op the poll sleep so the test stays fast.
+    monkeypatch.setattr(serve_mod.time, "sleep", lambda s: None)
+    gen = iter_frames(str(tmp_path), watch=True, poll_s=5.0)
     # A frame still being written (fresh mtime) is held back, not decoded
     # truncated: the poll is idle until the mtime settles.
     _touch_img(tmp_path / "a.jpg")
