@@ -33,6 +33,10 @@ def main() -> None:
     parser.add_argument("--num-workers", type=int, default=0,
                         help="data-loading worker processes")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--steps-per-execution", type=int, default=1,
+                        help="scan K optimizer steps inside one XLA "
+                        "program (amortizes host round-trips; pick a K "
+                        "dividing the log/checkpoint cadences)")
     parser.add_argument("--profile-dir", default="",
                         help="capture an xprof device trace over steps "
                         "10-15 into this directory (TensorBoard profile "
@@ -81,9 +85,10 @@ def main() -> None:
                            with_augmentation=True,
                            with_mds=cfg.train.with_mds)
 
-    trainer = Trainer(cfg, TrainerConfig(output_dir=args.output_dir,
-                                         seed=args.seed,
-                                         profile_dir=args.profile_dir))
+    trainer = Trainer(cfg, TrainerConfig(
+        output_dir=args.output_dir, seed=args.seed,
+        steps_per_execution=args.steps_per_execution,
+        profile_dir=args.profile_dir))
     per_device = args.batch_per_device or cfg.train.img_per_device
     global_batch = per_device * trainer.num_devices
     max_iter = args.max_steps or trainer.scaled_max_iter()

@@ -36,11 +36,19 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def stacked_batch_sharding(mesh: Mesh,
+                           axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard axis 1 (batch) of [K, B, ...] scan-stacked batches; the
+    leading K axis (steps-per-execution window) stays unsharded."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
+                stacked: bool = False):
     """Place a pytree of host arrays with the batch axis sharded.
 
     Single-process: a plain sharded device_put. Multi-process (one process
@@ -49,8 +57,12 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     SPMD analogue of the reference's per-rank DistributedSampler,
     cvpack/dataset/torch_samplers/), and the global array is assembled
     from the process-local shards without any cross-host copy.
+
+    ``stacked=True`` places [K, B, ...] scan-stacked windows (see
+    ``make_jitted_multi_step``): the batch axis is axis 1, K unsharded.
     """
-    sharding = batch_sharding(mesh, axis_name)
+    sharding = (stacked_batch_sharding(mesh, axis_name) if stacked
+                else batch_sharding(mesh, axis_name))
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda a: jax.make_array_from_process_local_data(

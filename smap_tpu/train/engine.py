@@ -85,6 +85,14 @@ class TrainerConfig:
     output_dir: str = "model_logs/smap_tpu"
     log_every: int = 20
     seed: int = 0
+    # Steps per device execution (t5x-style): >1 scans K optimizer steps
+    # inside ONE XLA program (make_jitted_multi_step), amortizing host
+    # round-trip / dispatch overhead across the window. Math is identical
+    # to K single steps. Pick a K dividing log_every and the checkpoint
+    # period so the cadences stay exact (they fire when a window's final
+    # iteration crosses the boundary); a partial tail window at max_iter
+    # falls back to single steps.
+    steps_per_execution: int = 1
     # When set, capture an xprof/TensorBoard device trace over a short
     # step window (smap_tpu.utils.profiling.StepWindowProfiler).
     profile_dir: str = ""
@@ -108,6 +116,12 @@ class Trainer:
             rank=_jax.process_index())
         self.tx = make_optimizer(cfg.train, self.num_devices)
         self.step_fn = make_jitted_train_step(cfg, self.mesh, self.tx)
+        self.multi_step_fn = None
+        if trainer_cfg.steps_per_execution > 1:
+            from smap_tpu.train.step import make_jitted_multi_step
+
+            self.multi_step_fn = make_jitted_multi_step(
+                cfg, self.mesh, self.tx, trainer_cfg.steps_per_execution)
         self.ckpt = CheckpointManager(
             os.path.join(trainer_cfg.output_dir, "checkpoints"))
         from smap_tpu.utils.metrics import MetricWriter
@@ -156,24 +170,45 @@ class Trainer:
         profiler = StepWindowProfiler(self.tc.profile_dir,
                                       self.tc.profile_first_step,
                                       self.tc.profile_num_steps)
+        k = max(1, self.tc.steps_per_execution)
         t0 = time.time()
+        window, last_logged = [], None
         for iteration, batch in batch_iter:
-            batch = shard_batch(batch, self.mesh)
-            state, losses = self.step_fn(state, batch)
             it = iteration + 1
+            window.append(batch)
+            if len(window) < k and it < max_iter:
+                continue
+            n = len(window)
+            if n == k and self.multi_step_fn is not None:
+                # K steps in one device execution (lax.scan window).
+                stacked = jax.tree.map(lambda *xs: np.stack(xs), *window)
+                state, losses = self.multi_step_fn(
+                    state, shard_batch(stacked, self.mesh, stacked=True))
+                # Report the window's final step (scan stacks losses [K]).
+                losses = jax.tree.map(lambda a: a[-1], losses)
+            else:   # k == 1, or the partial tail window at max_iter
+                for b in window:
+                    state, losses = self.step_fn(
+                        state, shard_batch(b, self.mesh))
+            window = []
             profiler.step(it)
-            if it % self.tc.log_every == 0 or it == max_iter:
+            # Cadences fire when a boundary falls inside the executed
+            # window (it - n, it] — exact when k divides them (n == 1
+            # reduces to the plain `it % every == 0`).
+            if it % self.tc.log_every < n or it == max_iter:
                 losses = jax.device_get(losses)
                 self.metrics.write_scalars(it, losses)
                 dt = time.time() - t0
                 t0 = time.time()
-                eta_s = dt / self.tc.log_every * (max_iter - it)
+                done = it - last_logged if last_logged else it
+                last_logged = it
+                eta_s = dt / max(done, 1) * (max_iter - it)
                 self.logger.info(
                     "Iter:%d, %s, ETA %dh%02dm", it,
                     ", ".join(f"{k}: {float(v):.3f}"
                               for k, v in losses.items()),
                     eta_s // 3600, eta_s % 3600 // 60)
-            if it % ckpt_period == 0 or it == max_iter:
+            if it % ckpt_period < n or it == max_iter:
                 self.ckpt.save(it, jax.device_get(state))
                 self.logger.info("checkpoint saved at iteration %d", it)
             if it >= max_iter:

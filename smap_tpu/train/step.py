@@ -27,7 +27,7 @@ from smap_tpu.data.labels import synthesize_labels
 from smap_tpu.losses import smap_loss
 from smap_tpu.models.smap import SMAP
 from smap_tpu.parallel.mesh import (DATA_AXIS, Mesh, batch_sharding,
-                                    replicated)
+                                    replicated, stacked_batch_sharding)
 from smap_tpu.train.solver import make_optimizer
 
 
@@ -61,12 +61,16 @@ def create_train_state(variables, cfg: Config, num_devices: int) -> TrainState:
                       opt_state=tx.init(variables["params"]))
 
 
-def train_step(state: TrainState, batch: TrainBatch, *, cfg: Config,
-               tx: optax.GradientTransformation
-               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One optimization step (pure function; jit at call site)."""
-    model = SMAP(cfg.model)
+def render_labels(batch: TrainBatch, *, cfg: Config):
+    """On-device label synthesis for one batch (vmapped over samples).
 
+    Kept as a SEPARATE jitted program in the production factories below:
+    merged into the grad program (the obvious single-program design) the
+    whole step executes ~170x slower on the target TPU runtime — 31.3 s vs
+    0.18 s + 13 ms at batch 8 with identical math (docs/perf_notes.md,
+    round-3 "train-step program-composition pathology"). The split costs
+    one extra dispatch, hidden by async dispatch.
+    """
     def render(bodys, scale):
         return synthesize_labels(
             bodys, scale, cfg.output_shape, cfg.stride,
@@ -74,7 +78,24 @@ def train_step(state: TrainState, batch: TrainBatch, *, cfg: Config,
             cfg.train.paf_line_width, cfg.train.with_mds,
             cfg.train.max_people)
 
-    labels, rdepth = jax.vmap(render)(batch.bodys, batch.scales)
+    return jax.vmap(render)(batch.bodys, batch.scales)
+
+
+def train_step(state: TrainState, batch: TrainBatch, *, cfg: Config,
+               tx: optax.GradientTransformation
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step (pure function; jit at call site)."""
+    labels, rdepth = render_labels(batch, cfg=cfg)
+    return train_step_with_labels(state, batch, labels, rdepth, cfg=cfg,
+                                  tx=tx)
+
+
+def train_step_with_labels(state: TrainState, batch: TrainBatch, labels,
+                           rdepth, *, cfg: Config,
+                           tx: optax.GradientTransformation
+                           ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Forward/backward/Adam with pre-rendered labels (see render_labels)."""
+    model = SMAP(cfg.model)
 
     def loss_fn(params):
         outputs, mutated = model.apply(
@@ -95,12 +116,75 @@ def train_step(state: TrainState, batch: TrainBatch, *, cfg: Config,
 
 def make_jitted_train_step(cfg: Config, mesh: Mesh,
                            tx: optax.GradientTransformation):
-    """jit with explicit shardings: batch on the data axis, state replicated."""
+    """Production step: batch on the data axis, state replicated.
+
+    TWO jitted programs composed at the call site — label rendering, then
+    the fwd/bwd/optimizer step. Both dispatch asynchronously back-to-back,
+    so the behavior and cost match one program EXCEPT for the runtime
+    pathology the split avoids (see render_labels' docstring).
+    """
     rep = replicated(mesh)
     data = batch_sharding(mesh)
-    step_fn = functools.partial(train_step, cfg=cfg, tx=tx)
-    return jax.jit(
-        step_fn,
-        in_shardings=(rep, TrainBatch(data, data, data, data)),
+    render_fn = jax.jit(
+        functools.partial(render_labels, cfg=cfg),
+        in_shardings=(TrainBatch(data, data, data, data),),
+        out_shardings=data)
+    step_fn = jax.jit(
+        functools.partial(train_step_with_labels, cfg=cfg, tx=tx),
+        in_shardings=(rep, TrainBatch(data, data, data, data), data, data),
         out_shardings=(rep, rep),
         donate_argnums=(0,))
+
+    def step(state: TrainState, batch: TrainBatch):
+        labels, rdepth = render_fn(batch)
+        return step_fn(state, batch, labels, rdepth)
+
+    return step
+
+
+def make_jitted_multi_step(cfg: Config, mesh: Mesh,
+                           tx: optax.GradientTransformation, n_steps: int):
+    """``n_steps`` optimization steps per device execution via ``lax.scan``.
+
+    TPU-idiomatic steps-per-execution (the t5x/pax training-loop pattern):
+    batches arrive stacked on a leading scan axis — every ``TrainBatch``
+    leaf is [K, B, ...] — and the whole window runs as one scanned XLA
+    program (plus the separate label-render program, see render_labels),
+    so per-execution dispatch/queueing overhead (host round-trips; seconds
+    per executable on shared/tunneled runtimes — docs/perf_notes.md) is
+    paid once per K steps instead of per step. The math is exactly K successive
+    :func:`train_step` calls — same state trajectory, same BatchNorm /
+    optimizer updates (tests/test_train_step.py pins the equivalence);
+    per-step losses come back scan-stacked as [K] arrays.
+
+    The reference has no analogue (its DDP loop is one optimizer step per
+    Python iteration, exps/stage3_root2/train.py:67-82); this exists
+    because on TPU the host-device boundary, not the Python loop body, is
+    the overhead to amortize.
+    """
+    rep = replicated(mesh)
+    data = stacked_batch_sharding(mesh)
+    render_fn = jax.jit(
+        jax.vmap(functools.partial(render_labels, cfg=cfg)),
+        in_shardings=(TrainBatch(data, data, data, data),),
+        out_shardings=data)
+
+    def multi_step(state, batches, labels, rdepth):
+        def body(s, xs):
+            b, l, r = xs
+            return train_step_with_labels(s, b, l, r, cfg=cfg, tx=tx)
+
+        return jax.lax.scan(body, state, (batches, labels, rdepth),
+                            length=n_steps)
+
+    multi_fn = jax.jit(
+        multi_step,
+        in_shardings=(rep, TrainBatch(data, data, data, data), data, data),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,))
+
+    def step(state: TrainState, batches: TrainBatch):
+        labels, rdepth = render_fn(batches)
+        return multi_fn(state, batches, labels, rdepth)
+
+    return step
