@@ -23,6 +23,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def is_axon_runtime() -> bool:
+    """True on the tunneled axon TPU relay (a dev harness, not a real TPU
+    VM). Several PJRT features execute pathologically there and are gated
+    off: donating the ~800 MB train state or annotating the train step
+    with NamedShardings makes the program run ~150x degraded
+    (docs/perf_notes.md round-3 item 10)."""
+    try:
+        return "axon" in jax.devices()[0].client.platform_version
+    except Exception:
+        return False
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               axis_name: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over all local devices by default."""
@@ -61,10 +73,21 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
     ``stacked=True`` places [K, B, ...] scan-stacked windows (see
     ``make_jitted_multi_step``): the batch axis is axis 1, K unsharded.
     """
-    sharding = (stacked_batch_sharding(mesh, axis_name) if stacked
-                else batch_sharding(mesh, axis_name))
     if jax.process_count() > 1:
+        sharding = (stacked_batch_sharding(mesh, axis_name) if stacked
+                    else batch_sharding(mesh, axis_name))
         return jax.tree.map(
             lambda a: jax.make_array_from_process_local_data(
                 sharding, np.asarray(a)), batch)
+    if mesh.devices.size == 1:
+        # One device: there is nothing to shard — skip the
+        # device_put(NamedSharding) placement (pointless metadata; plain
+        # placement keeps single-chip serving/training on the simplest
+        # PJRT path, which matters on quirky runtimes like the axon
+        # relay — docs/perf_notes.md round-3 item 10).
+        import jax.numpy as jnp
+
+        return jax.tree.map(jnp.asarray, batch)
+    sharding = (stacked_batch_sharding(mesh, axis_name) if stacked
+                else batch_sharding(mesh, axis_name))
     return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)

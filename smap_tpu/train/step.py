@@ -65,11 +65,13 @@ def render_labels(batch: TrainBatch, *, cfg: Config):
     """On-device label synthesis for one batch (vmapped over samples).
 
     Kept as a SEPARATE jitted program in the production factories below:
-    merged into the grad program (the obvious single-program design) the
-    whole step executes ~170x slower on the target TPU runtime — 31.3 s vs
-    0.18 s + 13 ms at batch 8 with identical math (docs/perf_notes.md,
-    round-3 "train-step program-composition pathology"). The split costs
-    one extra dispatch, hidden by async dispatch.
+    the rendered pytree is a pure function of the (tiny) joint tables, so
+    isolating it keeps the big fwd/bwd program's input surface to
+    images+labels and lets a data pipeline pre-render labels one batch
+    ahead. The split costs one extra dispatch, hidden by async dispatch.
+    (It was introduced while bisecting the axon train-step pathology,
+    which turned out to be donation/sharding annotations, not program
+    composition — docs/perf_notes.md round-3 item 10.)
     """
     def render(bodys, scale):
         return synthesize_labels(
@@ -123,23 +125,46 @@ def make_jitted_train_step(cfg: Config, mesh: Mesh,
     so the behavior and cost match one program EXCEPT for the runtime
     pathology the split avoids (see render_labels' docstring).
     """
-    rep = replicated(mesh)
-    data = batch_sharding(mesh)
-    render_fn = jax.jit(
-        functools.partial(render_labels, cfg=cfg),
-        in_shardings=(TrainBatch(data, data, data, data),),
-        out_shardings=data)
+    render_kw, step_kw = _sharding_kwargs(mesh, batch_sharding(mesh))
+    render_fn = jax.jit(functools.partial(render_labels, cfg=cfg),
+                        **render_kw)
     step_fn = jax.jit(
         functools.partial(train_step_with_labels, cfg=cfg, tx=tx),
-        in_shardings=(rep, TrainBatch(data, data, data, data), data, data),
-        out_shardings=(rep, rep),
-        donate_argnums=(0,))
+        **step_kw)
 
     def step(state: TrainState, batch: TrainBatch):
         labels, rdepth = render_fn(batch)
         return step_fn(state, batch, labels, rdepth)
 
     return step
+
+
+def _sharding_kwargs(mesh: Mesh, data):
+    """jit kwargs for the render/step program pair.
+
+    On a 1-device mesh every sharding annotation is dropped: there is
+    nothing to shard, and NamedSharding-annotated train programs execute
+    ~150x degraded on the tunneled axon runtime (docs/perf_notes.md
+    round-3 item 10) — the annotations' only effect there is harm.
+    State donation (memory headroom on real TPUs) is likewise gated off
+    on the axon relay, where donating the ~800 MB state costs ~38 s/step;
+    `SMAP_TPU_DONATE=0/1` overrides the auto-detection either way.
+    """
+    import os
+
+    from smap_tpu.parallel.mesh import is_axon_runtime
+
+    env = os.environ.get("SMAP_TPU_DONATE", "")
+    donate = ((env == "1") if env in ("0", "1")
+              else not is_axon_runtime())
+    step_kw = dict(donate_argnums=(0,)) if donate else {}
+    if mesh.devices.size > 1:
+        rep = replicated(mesh)
+        batch_tree = TrainBatch(data, data, data, data)
+        return (dict(in_shardings=(batch_tree,), out_shardings=data),
+                dict(in_shardings=(rep, batch_tree, data, data),
+                     out_shardings=(rep, rep), **step_kw))
+    return {}, step_kw
 
 
 def make_jitted_multi_step(cfg: Config, mesh: Mesh,
@@ -162,12 +187,9 @@ def make_jitted_multi_step(cfg: Config, mesh: Mesh,
     because on TPU the host-device boundary, not the Python loop body, is
     the overhead to amortize.
     """
-    rep = replicated(mesh)
-    data = stacked_batch_sharding(mesh)
+    render_kw, step_kw = _sharding_kwargs(mesh, stacked_batch_sharding(mesh))
     render_fn = jax.jit(
-        jax.vmap(functools.partial(render_labels, cfg=cfg)),
-        in_shardings=(TrainBatch(data, data, data, data),),
-        out_shardings=data)
+        jax.vmap(functools.partial(render_labels, cfg=cfg)), **render_kw)
 
     def multi_step(state, batches, labels, rdepth):
         def body(s, xs):
@@ -177,11 +199,7 @@ def make_jitted_multi_step(cfg: Config, mesh: Mesh,
         return jax.lax.scan(body, state, (batches, labels, rdepth),
                             length=n_steps)
 
-    multi_fn = jax.jit(
-        multi_step,
-        in_shardings=(rep, TrainBatch(data, data, data, data), data, data),
-        out_shardings=(rep, rep),
-        donate_argnums=(0,))
+    multi_fn = jax.jit(multi_step, **step_kw)
 
     def step(state: TrainState, batches: TrainBatch):
         labels, rdepth = render_fn(batches)
