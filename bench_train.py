@@ -1,7 +1,8 @@
 """Training-step throughput bench: full SPMD train step on one chip.
 
-Measures the complete jitted training step — SMAP forward (bf16, stage
-remat) + on-device label synthesis + backward + global-batch BN + Adam —
+Measures the complete jitted training step — SMAP forward (bf16;
+remat off, the reference's RUN_EFFICIENT default) + on-device label
+synthesis + backward + global-batch BN + Adam —
 at production resolution 512x832, batch 2 (the reference's img/GPU,
 exps/stage3_root2/config.py) / 8, plus batch 4 with
 steps_per_execution=4 (the t5x-style scanned window,

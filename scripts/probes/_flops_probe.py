@@ -65,11 +65,22 @@ def main_train():
         bodys=np.zeros((b, cfg.train.max_people, 15, 11), np.float32),
         valids=np.ones((b, 57), np.float32),
         scales=np.full((b,), 0.5, np.float32)), mesh)
-    cost = step.lower(state, batch).compile().cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    f = float(cost["flops"])
-    print(f"train step (batch {b}, remat): {f/1e12:.3f} TFLOP "
+    # The factory composes TWO jitted programs (label render + step);
+    # sum their cost analyses.
+    import jax.numpy as _jnp
+
+    labels, rdepth = jax.eval_shape(step.render_fn, batch)
+    labels = jax.tree.map(lambda s: _jnp.zeros(s.shape, s.dtype), labels)
+    rdepth = jax.tree.map(lambda s: _jnp.zeros(s.shape, s.dtype), rdepth)
+    f = 0.0
+    for prog, args in ((step.render_fn, (batch,)),
+                       (step.step_fn, (state, batch, labels, rdepth))):
+        cost = prog.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        f += float(cost["flops"])
+    print(f"train step (batch {b}, remat off — the reference's "
+          f"RUN_EFFICIENT default): {f/1e12:.3f} TFLOP "
           f"= {f/b/1e9:.1f} GFLOP/img", flush=True)
 
 

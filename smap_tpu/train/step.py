@@ -136,6 +136,10 @@ def make_jitted_train_step(cfg: Config, mesh: Mesh,
         labels, rdepth = render_fn(batch)
         return step_fn(state, batch, labels, rdepth)
 
+    # Expose the underlying jitted programs (AOT lowering, cost analysis —
+    # scripts/probes/_flops_probe.py).
+    step.render_fn = render_fn
+    step.step_fn = step_fn
     return step
 
 
