@@ -44,8 +44,9 @@ MAX_REEXECS = 6
 # host->device link rate is part of the same lottery (measured 35-540 MB/s
 # across processes) and bounds the pipelined loop (~10 MB I420/batch),
 # hence a threshold well above the A100 baseline: median draws land
-# ~45-70 img/s, good link draws well above.
-REROLL_IMGS_PER_SEC = 70.0
+# ~45-70 img/s, good link draws well above (the device pipeline alone
+# supports ~162 img/s at capacity 40 — perf_notes round-3 item 8).
+REROLL_IMGS_PER_SEC = 80.0
 MAX_FULL_TRIES = 3
 # ---------------------------------------------------------------------
 # Physics guards. The relay has been observed entering a state where it
