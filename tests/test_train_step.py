@@ -142,6 +142,43 @@ def test_multi_step_matches_single_steps(rng):
                  jax.device_get(state2.params))
 
 
+def test_jit_policy_gating(monkeypatch):
+    """_sharding_kwargs: 1-device meshes carry no sharding annotations;
+    state donation follows SMAP_TPU_DONATE / the axon-runtime detection
+    (docs/perf_notes.md round-3 item 10 — both annotations make the train
+    program execute ~150x degraded on that relay)."""
+    import jax
+
+    import smap_tpu.parallel.mesh as mesh_mod
+    from smap_tpu.parallel.mesh import batch_sharding, make_mesh
+    from smap_tpu.train.step import _sharding_kwargs
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    mesh2 = make_mesh(jax.devices()[:2])
+
+    monkeypatch.delenv("SMAP_TPU_DONATE", raising=False)
+    monkeypatch.setattr(mesh_mod, "is_axon_runtime", lambda: False)
+    render_kw, step_kw = _sharding_kwargs(mesh1, batch_sharding(mesh1))
+    assert render_kw == {} and step_kw == {"donate_argnums": (0,)}
+    render_kw, step_kw = _sharding_kwargs(mesh2, batch_sharding(mesh2))
+    assert "in_shardings" in render_kw and "in_shardings" in step_kw
+    assert step_kw["donate_argnums"] == (0,)
+
+    # Axon relay: donation gated off, shardings still off for 1 device.
+    monkeypatch.setattr(mesh_mod, "is_axon_runtime", lambda: True)
+    render_kw, step_kw = _sharding_kwargs(mesh1, batch_sharding(mesh1))
+    assert render_kw == {} and step_kw == {}
+
+    # Env override wins in both directions.
+    monkeypatch.setenv("SMAP_TPU_DONATE", "1")
+    _, step_kw = _sharding_kwargs(mesh1, batch_sharding(mesh1))
+    assert step_kw == {"donate_argnums": (0,)}
+    monkeypatch.setattr(mesh_mod, "is_axon_runtime", lambda: False)
+    monkeypatch.setenv("SMAP_TPU_DONATE", "0")
+    _, step_kw = _sharding_kwargs(mesh1, batch_sharding(mesh1))
+    assert step_kw == {}
+
+
 def test_lr_schedule_matches_reference():
     """Schedule parity vs. lib/utils/solver.py:12-19 semantics."""
     from smap_tpu.config import TrainConfig
