@@ -95,6 +95,9 @@ def main() -> None:
     args = parser.parse_args()
 
     from smap_tpu.utils.cache import enable_compilation_cache
+    from smap_tpu.utils.runtime import apply_platform_env
+
+    apply_platform_env()
 
     enable_compilation_cache()
 

@@ -19,6 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from smap_tpu.utils.cache import enable_compilation_cache
+from smap_tpu.utils.runtime import apply_platform_env
 
 
 def load_smap_variables(args, cfg):
@@ -89,6 +90,7 @@ def main() -> None:
         initialize_distributed(args.coordinator, args.num_processes,
                                args.process_id)
 
+    apply_platform_env()
     enable_compilation_cache()
 
     from smap_tpu.config import Config

@@ -17,6 +17,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from smap_tpu.utils.cache import enable_compilation_cache
+from smap_tpu.utils.runtime import apply_platform_env
 
 
 def main() -> None:
@@ -60,6 +61,7 @@ def main() -> None:
         initialize_distributed(args.coordinator, args.num_processes,
                                args.process_id)
 
+    apply_platform_env()
     enable_compilation_cache()
 
     import jax

@@ -84,10 +84,14 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS,
         # device_put(NamedSharding) placement (pointless metadata; plain
         # placement keeps single-chip serving/training on the simplest
         # PJRT path, which matters on quirky runtimes like the axon
-        # relay — docs/perf_notes.md round-3 item 10).
+        # relay — docs/perf_notes.md round-3 item 10). A mesh pinned to a
+        # non-default device still gets honored via a plain device_put.
         import jax.numpy as jnp
 
-        return jax.tree.map(jnp.asarray, batch)
+        dev = mesh.devices.flat[0]
+        if dev == jax.devices()[0]:
+            return jax.tree.map(jnp.asarray, batch)
+        return jax.tree.map(lambda a: jax.device_put(a, dev), batch)
     sharding = (stacked_batch_sharding(mesh, axis_name) if stacked
                 else batch_sharding(mesh, axis_name))
     return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)

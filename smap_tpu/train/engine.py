@@ -179,23 +179,27 @@ class Trainer:
             if len(window) < k and it < max_iter:
                 continue
             n = len(window)
-            if n == k and self.multi_step_fn is not None:
+            scanned = n == k and self.multi_step_fn is not None
+            if scanned:
                 # K steps in one device execution (lax.scan window).
                 stacked = jax.tree.map(lambda *xs: np.stack(xs), *window)
                 state, losses = self.multi_step_fn(
                     state, shard_batch(stacked, self.mesh, stacked=True))
-                # Report the window's final step (scan stacks losses [K]).
-                losses = jax.tree.map(lambda a: a[-1], losses)
             else:   # k == 1, or the partial tail window at max_iter
                 for b in window:
                     state, losses = self.step_fn(
                         state, shard_batch(b, self.mesh))
             window = []
-            profiler.step(it)
+            profiler.step(it, n)
             # Cadences fire when a boundary falls inside the executed
             # window (it - n, it] — exact when k divides them (n == 1
             # reduces to the plain `it % every == 0`).
             if it % self.tc.log_every < n or it == max_iter:
+                if scanned:
+                    # Report the window's final step (losses stacked [K]);
+                    # sliced only here so non-logging windows dispatch
+                    # nothing eagerly.
+                    losses = jax.tree.map(lambda a: a[-1], losses)
                 losses = jax.device_get(losses)
                 self.metrics.write_scalars(it, losses)
                 dt = time.time() - t0
@@ -213,5 +217,15 @@ class Trainer:
                 self.logger.info("checkpoint saved at iteration %d", it)
             if it >= max_iter:
                 break
+        if window:
+            # The iterator exhausted mid-window before max_iter: train the
+            # tail batches singly so every yielded batch is used, and
+            # checkpoint the final state (mirrors the max_iter exit).
+            for b in window:
+                state, losses = self.step_fn(
+                    state, shard_batch(b, self.mesh))
+            self.metrics.write_scalars(it, jax.device_get(losses))
+            self.ckpt.save(it, jax.device_get(state))
+            self.logger.info("checkpoint saved at iteration %d (tail)", it)
         profiler.close()
         return state

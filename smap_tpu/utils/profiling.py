@@ -61,12 +61,16 @@ class StepWindowProfiler:
         self.last = first_step + num_steps
         self._active = False
 
-    def step(self, it: int) -> None:
+    def step(self, it: int, window: int = 1) -> None:
+        """Advance to iteration ``it``; ``window`` > 1 when the caller
+        executes several steps per call (steps-per-execution), so the
+        start boundary triggers when ``first_step`` falls anywhere inside
+        the executed window (it - window, it]."""
         if not self.log_dir:
             return
         import jax
 
-        if it == self.first and not self._active:
+        if it - window < self.first <= it and not self._active:
             jax.profiler.start_trace(self.log_dir)
             self._active = True
         elif it >= self.last and self._active:

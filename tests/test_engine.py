@@ -84,3 +84,12 @@ def test_trainer_fit_steps_per_execution(tmp_path, rng):
     mfile = os.path.join(str(tmp_path), "tb_dir", "metrics.jsonl")
     steps = [json.loads(l)["step"] for l in open(mfile)]
     assert steps == [2, 4, 5]
+
+    # Iterator exhausting mid-window BEFORE max_iter: the tail batch must
+    # still train and the final state must be checkpointed.
+    trainer2 = Trainer(cfg, TrainerConfig(output_dir=str(tmp_path / "t2"),
+                                          log_every=2,
+                                          steps_per_execution=2))
+    state2 = trainer2.fit(((i, batch) for i in range(3)), max_steps=100)
+    assert int(jax.device_get(state2.step)) == 3
+    assert trainer2.ckpt.latest_step() == 3
