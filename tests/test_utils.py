@@ -72,3 +72,14 @@ def test_profiling_trace_capture(tmp_path):
         jax.block_until_ready(jnp.ones((4,)) + 1)
     prof.close()
     assert list((tmp_path / "prof2").rglob("*.xplane.pb"))
+
+    # steps-per-execution windows: first_step=10 falls INSIDE the window
+    # ending at it=12 (window=4 covers 9..12), so the capture still starts
+    # (a plain it == first_step check would never fire for k>1 cadences).
+    prof = StepWindowProfiler(str(tmp_path / "prof3"), first_step=10,
+                              num_steps=4)
+    for it in (4, 8, 12, 16):
+        prof.step(it, window=4)
+        jax.block_until_ready(jnp.ones((4,)) + 1)
+    prof.close()
+    assert list((tmp_path / "prof3").rglob("*.xplane.pb"))
