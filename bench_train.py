@@ -4,10 +4,10 @@ Measures the complete jitted training step — SMAP forward (bf16;
 remat off, the reference's RUN_EFFICIENT default) + on-device label
 synthesis + backward + global-batch BN + Adam —
 at production resolution 512x832, batch 2 (the reference's img/GPU,
-exps/stage3_root2/config.py) / 8, plus batch 4 with
-steps_per_execution=4 (the t5x-style scanned window,
-smap_tpu.train.step.make_jitted_multi_step). See ROWS for why there is
-no batch-16 row.
+exps/stage3_root2/config.py) / 8, batch 4 with steps_per_execution=4
+(the t5x-style scanned window, make_jitted_multi_step), and batch 16
+effective via gradient accumulation of 2 microbatches
+(make_jitted_accum_step — plain b=16 exceeds the chip's HBM; see ROWS).
 
 Honesty machinery (VERDICT r2 items 1/6 — the round-2 "356 img/s" table
 was a relay replay artifact): the step program is 1.1164 TFLOP/img
@@ -39,15 +39,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TRAIN_TFLOP_PER_IMG = 1.1164   # _flops_probe.py --train (batch-linear)
 PEAK_TFLOPS = 197.0            # v5e bf16 peak, one chip
 MIN_MS_PER_IMG = TRAIN_TFLOP_PER_IMG / PEAK_TFLOPS * 1e3   # ~5.67 ms
-# (batch, steps_per_execution) rows; the scanned row shows the dispatch
-# floor amortized K-fold. No b=16 row, and the scanned row runs at b=4:
-# the f32-master-param train step at 512x832 with stage-level remat
+# (batch, steps_per_execution, grad_accum) rows; the scanned row shows
+# the dispatch floor amortized K-fold. No PLAIN b=16 row, and the
+# scanned row runs at b=4: the f32-master-param train step at 512x832
 # exceeds this chip's HBM at batch 16 (RESOURCE_EXHAUSTED on every grant
 # tried, with and without state donation), and the scan-of-4 window's
-# undonated state ping-pong pushes b=8 over the same cliff. The
+# undonated state ping-pong pushes b=8 over the same cliff. The final
+# row is batch 16 EFFECTIVE via gradient accumulation (2 scanned
+# microbatches of 8, make_jitted_accum_step) — peak activations of one
+# microbatch, which is exactly the framework lever for that cliff. The
 # reference's own training regime is 2 img/GPU
 # (exps/stage3_root2/config.py).
-ROWS = ((2, 1), (8, 1), (4, 4))
+ROWS = ((2, 1, 1), (8, 1, 1), (4, 4, 1), (16, 1, 2))
 STEPS = 4                      # measured optimizer steps per row window
 # Degraded-grant re-roll: healthy draws land well above this; the re-exec
 # budget is shared with the small-probe calibration in bench.py.
@@ -110,6 +113,7 @@ def main() -> None:
     from smap_tpu.parallel.mesh import make_mesh, shard_batch
     from smap_tpu.train.solver import make_optimizer
     from smap_tpu.train.step import (TrainBatch, create_train_state,
+                                     make_jitted_accum_step,
                                      make_jitted_multi_step,
                                      make_jitted_train_step)
 
@@ -145,20 +149,34 @@ def main() -> None:
             scales=np.full((b,), 0.5, np.float32))
 
     table = {}
-    for b, spe in ROWS:
-        key = f"{b}x{spe}" if spe > 1 else str(b)
-        n_windows = max(1, STEPS // spe)
+    for b, spe, accum in ROWS:
         if spe > 1:
-            # Last row: drop the earlier rows' executables (their reserved
+            key = f"{b}x{spe}"
+        elif accum > 1:
+            key = f"{b}a{accum}"
+        else:
+            key = str(b)
+        n_windows = max(1, STEPS // spe)
+        if spe > 1 or accum > 1:
+            # Big rows: drop the earlier rows' executables (their reserved
             # device scratch counts against the scan program's HBM).
             single_step = None
             jax.clear_caches()
-        step = (single_step if spe == 1
-                else make_jitted_multi_step(cfg, mesh, tx, spe))
+        if accum > 1:
+            step = make_jitted_accum_step(cfg, mesh, tx, accum)
+        elif spe > 1:
+            step = make_jitted_multi_step(cfg, mesh, tx, spe)
+        else:
+            step = single_step
         state = staged = all_losses = None   # free the previous row's HBM
         min_ms = MIN_MS_PER_IMG * b * spe   # floor per WINDOW
 
-        def stage(spe=spe, b=b):
+        def stage(spe=spe, b=b, accum=accum):
+            if accum > 1:
+                stacked = jax.tree.map(
+                    lambda x: x.reshape(accum, b // accum, *x.shape[1:]),
+                    make_batch(b))
+                return shard_batch(stacked, mesh, stacked=True)
             if spe == 1:
                 return shard_batch(make_batch(b), mesh)
             win = [make_batch(b) for _ in range(spe)]

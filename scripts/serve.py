@@ -1,12 +1,19 @@
-"""Streaming serving loop: image frames -> 3D poses as JSON lines.
+"""Streaming serving loop: image/video frames -> 3D poses as JSON lines.
 
 The production serving shape of the framework (the reference has no
 serving entry point; its closest analogue is `run_inference` over a
 directory, exps/stage3_root2/test.py:156-178):
 
+* frames come from an image directory (optionally polled with --watch)
+  or a video file (anything cv2.VideoCapture opens);
 * frames are letterboxed on host and shipped as packed planar I420
   (YUV 4:2:0, the video wire format — 1.5 bytes/pixel over the
   host->device link, converted + normalized on device);
+* batches run through SMAPInference.run_stream: while batch i executes
+  on device, batch i+1's transfer and dispatches are already enqueued,
+  so steady-state throughput is the device pipeline rate, not
+  transfer + compute + postproc in series; idle polls flush the
+  in-flight slot so watch-mode latency stays bounded;
 * post-processing runs at an adaptive peak capacity (the smallest
   compiled program that fits each batch's scenes);
 * results stream out as one JSON line per image (same `3d_pairs` item
@@ -16,6 +23,8 @@ Usage:
   python scripts/serve.py --source /path/imgs -p SMAP.pth --out poses.jsonl
   # keep polling the directory for new frames:
   python scripts/serve.py --source /path/imgs --watch ... --out -
+  # video file:
+  python scripts/serve.py --source clip.mp4 --video-stride 2 ... --out -
 """
 
 from __future__ import annotations
@@ -74,17 +83,46 @@ def iter_frames(source: str, watch: bool, poll_s: float = 0.5):
         time.sleep(poll_s)
 
 
+def iter_video_frames(source: str, stride: int = 1):
+    """Yield (name, BGR frame) from a video file via cv2.VideoCapture,
+    keeping every ``stride``-th frame. Names encode the frame index so
+    downstream JSONL rows stay attributable."""
+    import cv2
+
+    cap = cv2.VideoCapture(source)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open video source: {source}")
+    try:
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                return
+            if i % stride == 0:
+                yield f"{source}#frame{i:06d}", frame
+            i += 1
+    finally:
+        cap.release()
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--source", required=True, help="image directory")
+    parser.add_argument("--source", required=True,
+                        help="image directory or video file")
     parser.add_argument("--watch", action="store_true",
-                        help="keep polling for new frames")
+                        help="keep polling for new frames (directory only)")
+    parser.add_argument("--video-stride", type=int, default=1,
+                        help="keep every Nth frame of a video source")
     parser.add_argument("--smap-path", "-p", default="")
     parser.add_argument("--ckpt-dir", default="")
     parser.add_argument("--refine-path", "-rp", default="")
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--adaptive-capacities", default="8,16,40",
                         help="peak-capacity ladder ('' disables)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard each batch over all local devices "
+                             "(single-process multi-chip serving; batch "
+                             "size must be divisible by the device count)")
     parser.add_argument("--int8", action="store_true",
                         help="int8-quantized forward (BN folded, dynamic "
                              "activation quant; small accuracy cost — "
@@ -121,47 +159,79 @@ def main() -> None:
             lambda x: x, convert_refinenet_state_dict(
                 load_torch_checkpoint(args.refine_path)))
 
+    import collections
+
+    import jax
+
+    mesh = None
+    if args.data_parallel:
+        from smap_tpu.parallel.mesh import make_mesh
+
+        if len(jax.local_devices()) > 1:
+            mesh = make_mesh(jax.local_devices())
+
     ladder = (tuple(int(c) for c in args.adaptive_capacities.split(","))
               if args.adaptive_capacities else None)
     engine = SMAPInference(variables, cfg, refine_variables,
-                           adaptive_capacities=ladder,
+                           adaptive_capacities=ladder, mesh=mesh,
                            quantized=args.int8)
     sink = sys.stdout if args.out == "-" else open(args.out, "a")
 
-    pending, names, scales = [], [], []
+    if os.path.isdir(args.source):
+        def frames():
+            """(name, BGR) per frame; None on idle watch polls."""
+            for path in iter_frames(args.source, args.watch):
+                if path is None:
+                    yield None
+                    continue
+                raw = cv2.imread(path, cv2.IMREAD_COLOR)
+                if raw is not None:
+                    yield path, raw
+    else:
+        def frames():
+            yield from iter_video_frames(args.source, args.video_stride)
 
-    def flush():
-        if not pending:
-            return
-        n = len(pending)
-        batch = pending + [np.zeros_like(pending[0])] * (args.batch_size - n)
-        sc = scales + [scales[-1]] * (args.batch_size - n)
-        res = engine.run_batch(np.stack(batch), sc)
-        import jax
+    # run_stream input: batches of (I420 stack, scales), None to flush the
+    # in-flight slot on idle. `meta` carries (names, real count) per batch
+    # dispatched, consumed in order as results come back.
+    meta = collections.deque()
 
+    def batches():
+        imgs, names, scales = [], [], []
+
+        def make_batch():
+            n = len(imgs)
+            batch = imgs + [np.zeros_like(imgs[0])] * (args.batch_size - n)
+            sc = scales + [scales[-1]] * (args.batch_size - n)
+            meta.append((list(names), n))
+            imgs.clear()
+            names.clear()
+            scales.clear()
+            return np.stack(batch), sc
+
+        for item in frames():
+            if item is None:     # idle poll: dispatch partials, drain slot
+                if imgs:
+                    yield make_batch()
+                yield None
+                continue
+            name, raw = item
+            img, scale = letterbox_image(raw, cfg.input_shape)
+            imgs.append(bgr_to_i420(img))   # 1.5 B/px over the link
+            names.append(name)
+            scales.append(scale)
+            if len(imgs) == args.batch_size:
+                yield make_batch()
+        if imgs:
+            yield make_batch()
+
+    for res in engine.run_stream(batches()):
+        names, n = meta.popleft()
         pairs = engine.results_to_pairs(
             jax.tree.map(lambda a: a[:n], res), names)
         for item in pairs:
             sink.write(json.dumps(item) + "\n")
         sink.flush()
-        pending.clear()
-        names.clear()
-        scales.clear()
-
-    for path in iter_frames(args.source, args.watch):
-        if path is None:   # idle poll: drain the partial batch
-            flush()
-            continue
-        raw = cv2.imread(path, cv2.IMREAD_COLOR)
-        if raw is None:
-            continue
-        img, scale = letterbox_image(raw, cfg.input_shape)
-        pending.append(bgr_to_i420(img))   # 1.5 B/px over the link
-        names.append(path)
-        scales.append(scale)
-        if len(pending) == args.batch_size:
-            flush()
-    flush()
 
 
 if __name__ == "__main__":

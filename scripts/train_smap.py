@@ -38,6 +38,11 @@ def main() -> None:
                         help="scan K optimizer steps inside one XLA "
                         "program (amortizes host round-trips; pick a K "
                         "dividing the log/checkpoint cadences)")
+    parser.add_argument("--grad-accum-steps", type=int, default=1,
+                        help="split each global batch into A scanned "
+                        "microbatches per optimizer step (peak activation "
+                        "memory of one microbatch; batch must divide by "
+                        "A x devices)")
     parser.add_argument("--profile-dir", default="",
                         help="capture an xprof device trace over steps "
                         "10-15 into this directory (TensorBoard profile "
@@ -90,6 +95,7 @@ def main() -> None:
     trainer = Trainer(cfg, TrainerConfig(
         output_dir=args.output_dir, seed=args.seed,
         steps_per_execution=args.steps_per_execution,
+        grad_accum_steps=args.grad_accum_steps,
         profile_dir=args.profile_dir))
     per_device = args.batch_per_device or cfg.train.img_per_device
     global_batch = per_device * trainer.num_devices

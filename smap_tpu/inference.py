@@ -368,12 +368,30 @@ class SMAPInference:
         escalation) for batch ``i`` happens only after batch ``i+1`` has
         been dispatched, by which point the count is already computed.
 
+        A ``None`` item is a FLUSH: the in-flight batch (if any) is
+        resolved and yielded immediately instead of waiting for the next
+        batch. Live sources (serve.py --watch, video capture) emit it on
+        idle so result latency stays bounded when frames stop arriving;
+        it costs the one overlapped slot, which an idle source wasn't
+        going to fill anyway.
+
         Requires the split (``fused=False``) pipeline; works with or
         without ``adaptive_capacities``.
         """
         assert not self.fused, "run_stream needs the split pipeline"
         pending = None
-        for images, scales in batches:
+
+        def resolve(item):
+            return (self._ladder_resolve(*item)
+                    if self.adaptive_capacities else item)
+
+        for entry in batches:
+            if entry is None:   # flush: drain the pipeline slot
+                if pending is not None:
+                    yield resolve(pending)
+                    pending = None
+                continue
+            images, scales = entry
             images, info = self._place(images, self._make_scale_info(scales))
             maps = self._jit_forward(self.variables, images)
             if self.adaptive_capacities:
@@ -382,12 +400,10 @@ class SMAPInference:
             else:
                 item = self._jit_post(self.refine_variables, *maps, info)
             if pending is not None:
-                yield (self._ladder_resolve(*pending)
-                       if self.adaptive_capacities else pending)
+                yield resolve(pending)
             pending = item
         if pending is not None:
-            yield (self._ladder_resolve(*pending)
-                   if self.adaptive_capacities else pending)
+            yield resolve(pending)
 
     def run_batch_timed(self, images: np.ndarray,
                         scales: Sequence[Dict[str, float]]):
@@ -470,38 +486,52 @@ def run_labeled_inference(dataset, engine: "SMAPInference",
     n = len(dataset)
     per = -(-n // num_shards)
     indices = list(range(shard * per, min(n, (shard + 1) * per)))
-    for start in range(0, len(indices), batch_size):
-        idx = indices[start:start + batch_size]
-        samples = [dataset.get_eval_sample(i) for i in idx]
-        imgs = np.stack([s[0] for s in samples])
-        if len(idx) < batch_size:   # pad tail to the compiled batch shape
-            imgs = np.concatenate(
-                [imgs, np.zeros((batch_size - len(idx), *imgs.shape[1:]),
-                                imgs.dtype)])
-        scales, gt_list = [], []
-        for s in samples:
-            bodys, scale = s[1], dict(s[3])
-            valid = bodys[bodys[:, root_idx, 3] > 1]
-            gt_list.append(valid)
-            if len(valid) and valid.shape[-1] >= 11:
-                scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 8],
-                             cx=valid[0, 0, 9], cy=valid[0, 0, 10])
-            elif len(valid) and valid.shape[-1] >= 8:
-                # Narrow annotation rows carry only f_x at column 7
-                # (data_format.md: bodys rows are >= 8 wide when intrinsics
-                # are present at all); anything narrower falls through to
-                # the fx=fy=W default below.
-                scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 7],
-                             cx=scale["img_width"] / 2,
-                             cy=scale["img_height"] / 2)
-            else:
-                scale.update(f_x=scale["img_width"],
-                             f_y=scale["img_width"],
-                             cx=scale["img_width"] / 2,
-                             cy=scale["img_height"] / 2)
-            scales.append(scale)
-        scales += [scales[-1]] * (batch_size - len(idx))
-        res = engine.run_batch(imgs, scales)
+
+    # Batches feed the pipelined run_stream: while batch i executes on
+    # device, batch i+1's host prep (sample decode, intrinsics) and the
+    # register_pred of batch i-1 overlap with it instead of serializing.
+    import collections
+
+    meta = collections.deque()
+
+    def batches():
+        for start in range(0, len(indices), batch_size):
+            idx = indices[start:start + batch_size]
+            samples = [dataset.get_eval_sample(i) for i in idx]
+            imgs = np.stack([s[0] for s in samples])
+            if len(idx) < batch_size:  # pad tail to the compiled shape
+                imgs = np.concatenate(
+                    [imgs,
+                     np.zeros((batch_size - len(idx), *imgs.shape[1:]),
+                              imgs.dtype)])
+            scales, gt_list = [], []
+            for s in samples:
+                bodys, scale = s[1], dict(s[3])
+                valid = bodys[bodys[:, root_idx, 3] > 1]
+                gt_list.append(valid)
+                if len(valid) and valid.shape[-1] >= 11:
+                    scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 8],
+                                 cx=valid[0, 0, 9], cy=valid[0, 0, 10])
+                elif len(valid) and valid.shape[-1] >= 8:
+                    # Narrow annotation rows carry only f_x at column 7
+                    # (data_format.md: bodys rows are >= 8 wide when
+                    # intrinsics are present at all); anything narrower
+                    # falls through to the fx=fy=W default below.
+                    scale.update(f_x=valid[0, 0, 7], f_y=valid[0, 0, 7],
+                                 cx=scale["img_width"] / 2,
+                                 cy=scale["img_height"] / 2)
+                else:
+                    scale.update(f_x=scale["img_width"],
+                                 f_y=scale["img_width"],
+                                 cx=scale["img_width"] / 2,
+                                 cy=scale["img_height"] / 2)
+                scales.append(scale)
+            scales += [scales[-1]] * (batch_size - len(idx))
+            meta.append((idx, samples, gt_list))
+            yield imgs, scales
+
+    for res in engine.run_stream(batches()):
+        idx, samples, gt_list = meta.popleft()
         res_np = {k: np.asarray(v) for k, v in res._asdict().items()}
         for j, i in enumerate(idx):
             gt = gt_list[j]
@@ -566,23 +596,35 @@ def run_inference(image_dir: str, variables, cfg: Config = Config(),
     from smap_tpu.data.preprocess import letterbox_image
 
     result = {"model_pattern": "MIX", "3d_pairs": []}
-    for start in range(0, len(paths), batch_size):
-        chunk = paths[start:start + batch_size]
-        imgs, scales = [], []
-        for p in chunk:
-            raw = cv2.imread(p, cv2.IMREAD_COLOR)
-            # Host letterbox only; normalization runs on device inside the
-            # forward jit (uint8 transfer is 4x smaller than normalized
-            # f32 and the transfer link bounds serving throughput).
-            img, scale = letterbox_image(raw, cfg.input_shape)
-            imgs.append(img)
-            scales.append(scale)
-        # Pad the tail batch to keep a single compiled shape.
-        pad = batch_size - len(chunk)
-        if pad:
-            imgs.extend([np.zeros_like(imgs[0])] * pad)
-            scales.extend([scales[-1]] * pad)
-        res = engine.run_batch(np.stack(imgs), scales)
+    # Pipelined: batch i+1's decode/letterbox overlaps batch i's device
+    # execution (run_stream keeps one batch in flight).
+    import collections
+
+    meta = collections.deque()
+
+    def batches():
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start:start + batch_size]
+            imgs, scales = [], []
+            for p in chunk:
+                raw = cv2.imread(p, cv2.IMREAD_COLOR)
+                # Host letterbox only; normalization runs on device inside
+                # the forward jit (uint8 transfer is 4x smaller than
+                # normalized f32 and the transfer link bounds serving
+                # throughput).
+                img, scale = letterbox_image(raw, cfg.input_shape)
+                imgs.append(img)
+                scales.append(scale)
+            # Pad the tail batch to keep a single compiled shape.
+            pad = batch_size - len(chunk)
+            if pad:
+                imgs.extend([np.zeros_like(imgs[0])] * pad)
+                scales.extend([scales[-1]] * pad)
+            meta.append(chunk)
+            yield np.stack(imgs), scales
+
+    for res in engine.run_stream(batches()):
+        chunk = meta.popleft()
         names = [os.path.relpath(p, image_dir) for p in chunk]
         result["3d_pairs"].extend(
             engine.results_to_pairs(

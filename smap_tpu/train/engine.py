@@ -93,6 +93,12 @@ class TrainerConfig:
     # iteration crosses the boundary); a partial tail window at max_iter
     # falls back to single steps.
     steps_per_execution: int = 1
+    # Gradient accumulation: >1 splits each global batch into A scanned
+    # microbatches inside one jitted step (make_jitted_accum_step) — peak
+    # activation memory of one microbatch, one optimizer update of the
+    # microbatch-averaged gradient. Batch size must be divisible by
+    # A x device count. Mutually exclusive with steps_per_execution > 1.
+    grad_accum_steps: int = 1
     # When set, capture an xprof/TensorBoard device trace over a short
     # step window (smap_tpu.utils.profiling.StepWindowProfiler).
     profile_dir: str = ""
@@ -115,6 +121,10 @@ class Trainer:
             log_file=os.path.join(trainer_cfg.output_dir, "log.txt"),
             rank=_jax.process_index())
         self.tx = make_optimizer(cfg.train, self.num_devices)
+        assert not (trainer_cfg.steps_per_execution > 1
+                    and trainer_cfg.grad_accum_steps > 1), (
+            "steps_per_execution and grad_accum_steps both stack batches "
+            "on the scan axis; pick one")
         self.step_fn = make_jitted_train_step(cfg, self.mesh, self.tx)
         self.multi_step_fn = None
         if trainer_cfg.steps_per_execution > 1:
@@ -122,6 +132,12 @@ class Trainer:
 
             self.multi_step_fn = make_jitted_multi_step(
                 cfg, self.mesh, self.tx, trainer_cfg.steps_per_execution)
+        self.accum_step_fn = None
+        if trainer_cfg.grad_accum_steps > 1:
+            from smap_tpu.train.step import make_jitted_accum_step
+
+            self.accum_step_fn = make_jitted_accum_step(
+                cfg, self.mesh, self.tx, trainer_cfg.grad_accum_steps)
         self.ckpt = CheckpointManager(
             os.path.join(trainer_cfg.output_dir, "checkpoints"))
         from smap_tpu.utils.metrics import MetricWriter
@@ -170,6 +186,21 @@ class Trainer:
         profiler = StepWindowProfiler(self.tc.profile_dir,
                                       self.tc.profile_first_step,
                                       self.tc.profile_num_steps)
+        def run_one(state, b):
+            """One optimizer step on one global batch (accumulated or not)."""
+            if self.accum_step_fn is not None:
+                a = self.tc.grad_accum_steps
+                bs = int(np.asarray(b.images).shape[0])
+                if bs % a:
+                    raise ValueError(f"batch {bs} not divisible by "
+                                     f"grad_accum_steps={a}")
+                stacked = jax.tree.map(
+                    lambda x: np.asarray(x).reshape(
+                        a, x.shape[0] // a, *x.shape[1:]), b)
+                return self.accum_step_fn(
+                    state, shard_batch(stacked, self.mesh, stacked=True))
+            return self.step_fn(state, shard_batch(b, self.mesh))
+
         k = max(1, self.tc.steps_per_execution)
         t0 = time.time()
         window, last_logged = [], None
@@ -187,8 +218,7 @@ class Trainer:
                     state, shard_batch(stacked, self.mesh, stacked=True))
             else:   # k == 1, or the partial tail window at max_iter
                 for b in window:
-                    state, losses = self.step_fn(
-                        state, shard_batch(b, self.mesh))
+                    state, losses = run_one(state, b)
             window = []
             profiler.step(it, n)
             # Cadences fire when a boundary falls inside the executed
@@ -222,8 +252,7 @@ class Trainer:
             # tail batches singly so every yielded batch is used, and
             # checkpoint the final state (mirrors the max_iter exit).
             for b in window:
-                state, losses = self.step_fn(
-                    state, shard_batch(b, self.mesh))
+                state, losses = run_one(state, b)
             self.metrics.write_scalars(it, jax.device_get(losses))
             self.ckpt.save(it, jax.device_get(state))
             self.logger.info("checkpoint saved at iteration %d (tail)", it)

@@ -171,6 +171,77 @@ def _sharding_kwargs(mesh: Mesh, data):
     return {}, step_kw
 
 
+def make_jitted_accum_step(cfg: Config, mesh: Mesh,
+                           tx: optax.GradientTransformation,
+                           accum_steps: int):
+    """One optimizer step from ``accum_steps`` scanned microbatches.
+
+    Gradient accumulation: batches arrive stacked [A, B/A, ...] (host
+    reshape of one global batch), a ``lax.scan`` runs forward/backward per
+    microbatch at CONSTANT params accumulating the gradient sum, then one
+    Adam update applies the microbatch-averaged gradient. Peak activation
+    memory is one microbatch — the lever for effective batches past the
+    per-chip HBM cliff (b=16 at 512x832 OOMs on v5e without it,
+    docs/perf_notes.md round-3 training bench) without touching the math
+    of the LR schedule (one step, one global batch).
+
+    BatchNorm semantics: each microbatch normalizes by its OWN batch
+    statistics and the running stats chain through the scan — exactly the
+    reference's per-GPU BN behavior under DDP (its BN also sees only the
+    local slice of the global batch, train.py:41-44), traded against the
+    single-step path's global-batch BN.
+
+    The reference has no analogue (it lowers per-GPU batch to 2 instead,
+    config.py solver settings); this exists because one TPU chip replaces
+    several 11 GB GPUs and wants their combined batch.
+    """
+    render_kw, step_kw = _sharding_kwargs(mesh, stacked_batch_sharding(mesh))
+    render_fn = jax.jit(
+        jax.vmap(functools.partial(render_labels, cfg=cfg)), **render_kw)
+    model = SMAP(cfg.model)
+
+    def accum_step(state: TrainState, batches: TrainBatch, labels, rdepth):
+        def micro(carry, xs):
+            stats, grad_sum = carry
+            b, l, r = xs
+
+            def loss_fn(params):
+                outputs, mutated = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    b.images, train=True, mutable=["batch_stats"])
+                losses = smap_loss(outputs, b.valids, l, r, cfg.train)
+                return losses["total_loss"], (losses,
+                                              mutated["batch_stats"])
+
+            (_, (losses, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+            return (new_stats, grad_sum), losses
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, grad_sum), losses = jax.lax.scan(
+            micro, (state.batch_stats, zero), (batches, labels, rdepth),
+            length=accum_steps)
+        grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        # Report the microbatch-mean of each loss (one step's losses over
+        # the one global batch).
+        return new_state, jax.tree.map(lambda a: a.mean(0), losses)
+
+    accum_fn = jax.jit(accum_step, **step_kw)
+
+    def step(state: TrainState, batches: TrainBatch):
+        labels, rdepth = render_fn(batches)
+        return accum_fn(state, batches, labels, rdepth)
+
+    return step
+
+
 def make_jitted_multi_step(cfg: Config, mesh: Mesh,
                            tx: optax.GradientTransformation, n_steps: int):
     """``n_steps`` optimization steps per device execution via ``lax.scan``.

@@ -399,6 +399,23 @@ def test_mesh_sharded_serving_matches_single_device(rng):
     with pytest.raises(ValueError):
         sharded.run_batch(imgs[:5], scales[:5])
 
+    # The serve-CLI combination: mesh sharding + adaptive ladder through
+    # the pipelined run_stream (counts reduce globally across shards; the
+    # rung program runs per shard).
+    laddered = SMAPInference(variables, cfg, mesh=mesh,
+                             adaptive_capacities=(4, 8))
+    outs = list(laddered.run_stream([(imgs, scales), None, (imgs, scales)]))
+    assert len(outs) == 2
+    counts_p = np.asarray(res_p.count)
+    for got in outs:
+        counts_g = np.asarray(got.count)
+        np.testing.assert_array_equal(counts_g, counts_p)
+        for i, n in enumerate(counts_p.astype(int)):
+            np.testing.assert_allclose(
+                np.asarray(got.bodies_3d)[i, :n],
+                np.asarray(res_p.bodies_3d)[i, :n],
+                rtol=1e-4, atol=1e-3)
+
 
 def test_adaptive_capacity_ladder():
     """SMAPInference(adaptive_capacities=...) picks the smallest rung that
@@ -527,6 +544,68 @@ def test_run_stream_matches_run_batch():
             assert int(np.asarray(got.count)[0]) == n
             np.testing.assert_allclose(np.asarray(got.bodies_3d)[0, :n],
                                        np.asarray(want.bodies_3d)[0, :n],
+                                       rtol=1e-4, atol=1e-3)
+
+
+def test_run_stream_flush_sentinel():
+    """A None item flushes the in-flight slot: the pending result is
+    resolved and yielded immediately (no further batch needs to arrive),
+    and results/ordering are unaffected."""
+    import jax.numpy as jnp
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.inference import SMAPInference
+
+    H, W = 64, 104
+    scales = [{"scale": 0.433, "img_width": 1920.0, "img_height": 1080.0,
+               "f_x": 1500.0, "f_y": 1500.0, "cx": 960.0, "cy": 540.0}]
+    post = PostProcessConfig(max_peaks=127, assoc_peaks=16)
+    cfg = Config(model=ModelConfig(output_shape=(H, W),
+                                   compute_dtype="float32"),
+                 post=post, input_shape=(H * 4, W * 4), output_shape=(H, W))
+    images = np.zeros((1, H * 4, W * 4, 3), np.float32)
+
+    hm, pafs, rdm, _, _ = _synthetic_heatmaps(
+        np.random.RandomState(42), num_people=4, h=H, w=W)
+    sparse = (jnp.asarray(np.concatenate(
+                  [hm.transpose(1, 2, 0) * 255.0,
+                   pafs.transpose(1, 2, 0) * 127.0], -1)[None]),
+              jnp.asarray(np.random.RandomState(7).randn(
+                  1, H, W, 14).astype(np.float32)),
+              jnp.asarray(rdm[None, ..., None]))
+
+    def make_engine(**kw):
+        engine = SMAPInference({}, cfg, **kw)
+        engine._jit_forward = lambda variables, x: tuple(
+            jnp.copy(m) for m in sparse)
+        return engine
+
+    for kw in ({"adaptive_capacities": (8, 16, 48)}, {}):
+        engine = make_engine(**kw)
+        ref = engine.run_batch(images, scales)
+        n = int(np.asarray(ref.count)[0])
+
+        engine = make_engine(**kw)
+        consumed = []
+        feed = [(images, scales), None, None, (images, scales), None]
+
+        def tracking(seq=feed):
+            for item in seq:
+                consumed.append(item is None)
+                yield item
+
+        stream = engine.run_stream(tracking())
+        first = next(stream)
+        # The first result arrived right after the flush — before the
+        # second batch was ever pulled from the source (and the repeated
+        # None on an already-empty slot is inert).
+        assert consumed == [False, True]
+        rest = list(stream)
+        assert len(rest) == 1
+        for got in [first, rest[0]]:
+            assert int(np.asarray(got.count)[0]) == n
+            np.testing.assert_allclose(np.asarray(got.bodies_3d)[0, :n],
+                                       np.asarray(ref.bodies_3d)[0, :n],
                                        rtol=1e-4, atol=1e-3)
 
 

@@ -75,21 +75,44 @@ def test_iter_frames_watch_settles_and_evicts(tmp_path, monkeypatch):
     assert os.path.basename(next(gen)) == "a.jpg"
 
 
-@pytest.mark.slow
-def test_serve_main_end_to_end(tmp_path, monkeypatch):
-    """Drive scripts/serve.py's main() loop for real (VERDICT r2 item 8):
-    tiny random-weight model, a directory of frames, ladder on, watch off.
-    Covers letterbox -> I420 packing -> batched engine (partial final
-    batch padding) -> JSONL sink, i.e. the whole serving path the other
-    tests only touched piecewise."""
-    import json
-    import sys as _sys
-
+def _write_video(path, n_frames, w=64, h=48):
     import cv2
+
+    rng = np.random.RandomState(3)
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"),
+                         10, (w, h))
+    assert vw.isOpened()
+    for _ in range(n_frames):
+        vw.write(rng.randint(0, 255, (h, w, 3), np.uint8))
+    vw.release()
+
+
+def test_iter_video_frames(tmp_path):
+    from scripts.serve import iter_video_frames
+
+    vid = tmp_path / "clip.avi"
+    _write_video(vid, 5)
+    got = list(iter_video_frames(str(vid)))
+    assert len(got) == 5
+    names = [n for n, _ in got]
+    assert names[0].endswith("#frame000000")
+    assert names[-1].endswith("#frame000004")
+    for _, frame in got:
+        assert frame.shape == (48, 64, 3)
+    # stride keeps every Nth frame
+    strided = list(iter_video_frames(str(vid), stride=2))
+    assert [n for n, _ in strided] == [names[0], names[2], names[4]]
+
+    with pytest.raises(SystemExit):
+        list(iter_video_frames(str(tmp_path / "missing.avi")))
+
+
+def _patch_tiny_model(monkeypatch):
+    """Point serve.py's config + checkpoint loader at a tiny
+    random-weight model."""
     import jax
     import jax.numpy as jnp
 
-    import scripts.serve as serve
     import scripts.test_smap as test_smap
     import smap_tpu.config as config_mod
     from smap_tpu.config import Config, ModelConfig
@@ -110,6 +133,23 @@ def test_serve_main_end_to_end(tmp_path, monkeypatch):
             jnp.zeros((1, *cfg.input_shape, 3), jnp.float32))
 
     monkeypatch.setattr(test_smap, "load_smap_variables", fake_load)
+
+
+@pytest.mark.slow
+def test_serve_main_end_to_end(tmp_path, monkeypatch):
+    """Drive scripts/serve.py's main() loop for real (VERDICT r2 item 8):
+    tiny random-weight model, a directory of frames, ladder on, watch off.
+    Covers letterbox -> I420 packing -> pipelined run_stream (partial
+    final batch padding) -> JSONL sink, i.e. the whole serving path the
+    other tests only touched piecewise."""
+    import json
+    import sys as _sys
+
+    import cv2
+
+    import scripts.serve as serve
+
+    _patch_tiny_model(monkeypatch)
 
     src = tmp_path / "frames"
     src.mkdir()
@@ -133,3 +173,30 @@ def test_serve_main_end_to_end(tmp_path, monkeypatch):
         # the schema (lists) is the contract
         assert isinstance(item["pred_2d"], list)
         assert isinstance(item["pred_3d"], list)
+
+
+@pytest.mark.slow
+def test_serve_main_video_source(tmp_path, monkeypatch):
+    """serve.py over a video file: cv2 decode -> strided frames ->
+    pipelined batches -> one JSONL row per kept frame, in stream order."""
+    import json
+    import sys as _sys
+
+    import scripts.serve as serve
+
+    _patch_tiny_model(monkeypatch)
+
+    vid = tmp_path / "clip.avi"
+    _write_video(vid, 5, w=320, h=240)
+    out = tmp_path / "poses.jsonl"
+    monkeypatch.setattr(_sys, "argv", [
+        "serve.py", "--source", str(vid), "--out", str(out),
+        "--batch_size", "2", "--video-stride", "2",
+        "--adaptive-capacities", "4,8"])
+    serve.main()
+
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    frames = [l["image_path"].split("#")[-1] for l in lines]
+    assert frames == ["frame000000", "frame000002", "frame000004"]
+    for item in lines:
+        assert set(item) >= {"pred_2d", "pred_3d", "root_d", "image_path"}

@@ -142,6 +142,107 @@ def test_multi_step_matches_single_steps(rng):
                  jax.device_get(state2.params))
 
 
+@pytest.mark.slow
+def test_accum_step_matches_manual_accumulation(rng):
+    """make_jitted_accum_step == the definition: per-microbatch grads at
+    CONSTANT params with BN running stats chaining through the scan, one
+    optimizer update of the microbatch-averaged gradient, microbatch-mean
+    losses. Oracle is a hand-rolled python loop over the same pieces."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from smap_tpu.losses import smap_loss
+    from smap_tpu.models.smap import SMAP
+    from smap_tpu.parallel.mesh import make_mesh, shard_batch
+    from smap_tpu.train.step import (TrainState, make_jitted_accum_step,
+                                     render_labels)
+
+    cfg = _tiny_cfg(input_shape=(32, 48))
+    # 2-device mesh: covers the SHARDED stacked-batch path (axis-1 batch
+    # sharding + the in-scan gradient all-reduce), not just the math.
+    mesh = make_mesh(jax.devices()[:2])
+    model = SMAP(cfg.model)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *cfg.input_shape, 3), jnp.float32))
+    tx = optax.sgd(1e-4)   # see test_multi_step_matches_single_steps
+    accum = make_jitted_accum_step(cfg, mesh, tx, 2)
+
+    batch = _batch(rng, cfg, 4)   # global batch 4 -> 2 microbatches of 2
+    stacked = jax.tree.map(
+        lambda x: x.reshape(2, 2, *x.shape[1:]), batch)
+
+    state0 = TrainState(step=jnp.zeros((), jnp.int32),
+                        params=variables["params"],
+                        batch_stats=variables["batch_stats"],
+                        opt_state=tx.init(variables["params"]))
+    clone = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+
+    # --- oracle: explicit python accumulation loop. Each microbatch is
+    # sharded over the SAME mesh as the production step: an unsharded
+    # oracle computes the same math but in a different XLA partitioning,
+    # and ~1e-7 reassociation noise amplifies through the 50-layer
+    # BN trunk to ~0.5% on output maps — dense-mean losses average it
+    # away, but the sparse root-depth gather samples it raw. Sharded
+    # identically, the losses match bit-exactly, so this tests the
+    # accumulation semantics at full strength.
+    state = clone(state0)
+    render = jax.jit(functools.partial(render_labels, cfg=cfg))
+    stats = state.batch_stats
+    grad_sum = None
+    micro_losses = []
+    for i in range(2):
+        mb = shard_batch(jax.tree.map(lambda x: x[i], stacked), mesh)
+        labels, rdepth = render(mb)
+
+        def loss_fn(params, stats, mb, labels, rdepth):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": stats},
+                mb.images, train=True, mutable=["batch_stats"])
+            losses = smap_loss(outputs, mb.valids, labels, rdepth,
+                               cfg.train)
+            return losses["total_loss"], (losses, mutated["batch_stats"])
+
+        (_, (losses, stats)), grads = jax.jit(jax.value_and_grad(
+            loss_fn, has_aux=True))(state.params, stats, mb, labels,
+                                    rdepth)
+        micro_losses.append(jax.device_get(losses))
+        grad_sum = grads if grad_sum is None else jax.tree.map(
+            jnp.add, grad_sum, grads)
+    grads = jax.tree.map(lambda g: g / 2, grad_sum)
+    updates, _ = jax.jit(tx.update)(grads, state.opt_state, state.params)
+    ref_params = jax.device_get(
+        jax.jit(optax.apply_updates)(state.params, updates))
+    ref_stats = jax.device_get(stats)
+
+    # --- the production accum step
+    state2, losses2 = accum(clone(state0),
+                            shard_batch(stacked, mesh, stacked=True))
+    assert int(state2.step) == 1
+    losses2 = jax.device_get(losses2)
+    for key in micro_losses[0]:
+        want = (micro_losses[0][key] + micro_losses[1][key]) / 2
+        np.testing.assert_allclose(losses2[key], want, rtol=2e-5)
+
+    def close_in_norm(a, b):
+        # Absolute floor 1e-5: zero-initialized biases sit one SGD step
+        # (~lr x fp-noise-dominated grad ~ 1e-7) from zero, where a pure
+        # relative check amplifies cross-program reassociation noise; a
+        # real averaging bug shows up at ~norm(update)/2 ~ 5e-4 on
+        # substantive leaves, well above both terms.
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        err = np.linalg.norm(a - b)
+        assert err < 1e-4 * np.linalg.norm(a) + 1e-5, (a.shape, err)
+
+    jax.tree.map(close_in_norm, ref_params,
+                 jax.device_get(state2.params))
+    jax.tree.map(close_in_norm, ref_stats,
+                 jax.device_get(state2.batch_stats))
+
+
 def test_jit_policy_gating(monkeypatch):
     """_sharding_kwargs: 1-device meshes carry no sharding annotations;
     state donation follows SMAP_TPU_DONATE / the axon-runtime detection
