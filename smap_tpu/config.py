@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Tuple
+from typing import Any, Tuple
 
 # ---------------------------------------------------------------------------
 # Skeleton constants (mpi15 joint set)
@@ -121,8 +121,11 @@ class ModelConfig:
     # Opt-in speed/accuracy trade — not used by parity tests or the
     # golden corpus. NOTE: measured ~9% slower than bf16 on the current
     # tunneled v5e runtime (no native int8 conv lowering there); see
-    # docs/perf_notes.md round-3 item 9.
-    quantized: bool = False
+    # docs/perf_notes.md round-3 item 9. "static" additionally freezes
+    # the per-conv activation scales from calibration batches
+    # (smap_tpu.models.quantize.calibrate_activation_scales), removing
+    # every per-call abs-max reduction from the serving graph.
+    quantized: Any = False   # False | True (dynamic) | "static"
 
     @property
     def kpt_paf_channels(self) -> int:

@@ -109,13 +109,21 @@ class Conv2D(nn.Module):
     them), activations are dynamically quantized per tensor on device, and
     the conv runs int8 x int8 -> int32 on the MXU (2x the bf16 rate on
     v5e). Output is dequantized f32 then cast to ``dtype``.
+
+    ``quant="static"`` replaces the per-call activation abs-max reduction
+    with a frozen per-conv ``act_scale`` parameter (produced by
+    smap_tpu.models.quantize.calibrate_activation_scales): no reduction
+    serializes between convs, at the cost of clipping activations that
+    exceed the calibration range. The dynamic mode sows its observed
+    abs-max (``intermediates/act_absmax``) so calibration is just a
+    mutable apply of the dynamic graph.
     """
 
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0))
-    quant: bool = False
+    quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -130,7 +138,13 @@ class Conv2D(nn.Module):
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
             xf = x.astype(jnp.float32)
-            s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+            if self.quant == "static":
+                s_x = self.param("act_scale", nn.initializers.ones,
+                                 (), jnp.float32)
+            else:
+                absmax = jnp.max(jnp.abs(xf))
+                self.sow("intermediates", "act_absmax", absmax)
+                s_x = jnp.maximum(absmax, 1e-6) / 127.0
             xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 xq, kernel_q, self.strides, list(self.padding),
@@ -168,7 +182,7 @@ class ConvBnRelu(nn.Module):
     padding: Any = "SAME"
     has_bn: bool = True
     has_relu: bool = True
-    quant: bool = False
+    quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -198,7 +212,7 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     has_downsample: bool = False
-    quant: bool = False
+    quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
     expansion: int = 4
 

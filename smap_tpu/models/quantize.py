@@ -13,7 +13,11 @@ post-training quantization, arranged for XLA fusion:
   parameter set at serving time.
 * Activations: per-tensor dynamic symmetric int8 computed on device
   inside the jit (one absmax reduction + round per conv input; XLA
-  fuses these into the surrounding elementwise work).
+  fuses these into the surrounding elementwise work) — OR frozen
+  per-conv scales from :func:`calibrate_activation_scales`
+  (``ModelConfig(quantized="static")``), which removes every per-call
+  reduction from the serving graph at the cost of clipping inputs that
+  exceed the calibration range.
 * The conv itself runs int8 x int8 -> int32 on the MXU
   (lax.conv_general_dilated with preferred_element_type=int32), then
   dequantizes with the folded scales and adds the folded bias.
@@ -29,9 +33,11 @@ it is NOT used by parity tests or the golden corpus.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import dataclasses
+from typing import Any, Dict, Iterable, Union
 
 import jax.numpy as jnp
+import numpy as np
 
 BN_EPS = 1e-5   # matches nn.BatchNorm epsilon in smap_tpu.models.layers
 
@@ -73,3 +79,74 @@ def quantize_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
                 for k, v in p.items()}
 
     return {"params": walk(params, stats)}
+
+
+def calibrate_activation_scales(qvars: Dict[str, Any], model_cfg,
+                                batches: Union[Iterable, Any],
+                                ) -> Dict[str, Any]:
+    """Freeze per-conv activation scales from calibration batches.
+
+    Runs the DYNAMIC-quant serving graph (``SMAP.infer``) over the given
+    preprocessed f32 image batches with the ``intermediates`` collection
+    mutable — each conv sows its observed activation abs-max
+    (`smap_tpu.models.layers.Conv2D`) — takes the elementwise max across
+    batches, and writes ``act_scale = max(absmax, 1e-6) / 127`` into each
+    conv's parameter block. The result runs under
+    ``ModelConfig(quantized="static")``: bit-identical to the dynamic
+    graph on the calibration data itself, and free of the per-conv
+    abs-max reductions that serialize between convs at serving time
+    (docs/perf_notes.md round-3 item 9). Inputs hotter than the
+    calibration range clip at +-127 (standard post-training static
+    quantization behavior); calibrate on representative frames.
+
+    Args:
+      qvars: output of :func:`quantize_variables`.
+      model_cfg: the ``ModelConfig`` of the model being served (its
+        ``quantized`` field is overridden internally).
+      batches: one [B, H, W, 3] float32 array (already normalized — the
+        serving engine's device-side normalization applied) or an
+        iterable of them.
+
+    Returns:
+      New variables dict for the ``quantized="static"`` model. Convs the
+      serving graph never executes (statically masked heads) carry no
+      ``act_scale`` — the static graph never reads them either.
+    """
+    import jax
+
+    from smap_tpu.models.smap import SMAP
+
+    model = SMAP(dataclasses.replace(model_cfg, quantized=True))
+
+    @jax.jit
+    def smap_calibration_forward(v, x):
+        _, mut = model.apply(v, x, method=SMAP.infer,
+                             mutable=["intermediates"])
+        return mut["intermediates"]
+
+    if isinstance(batches, (np.ndarray, jnp.ndarray)):
+        batches = [batches]
+    agg = None
+    for x in batches:
+        inter = jax.device_get(
+            smap_calibration_forward(qvars, jnp.asarray(x, jnp.float32)))
+        agg = inter if agg is None else jax.tree.map(np.maximum, agg, inter)
+    if agg is None:
+        raise ValueError("calibration needs at least one batch")
+
+    def walk(p, i):
+        i = i if isinstance(i, dict) else {}
+        if "kernel_q" in p:
+            out = dict(p)
+            absmax = i.get("act_absmax")
+            if absmax is not None:
+                if isinstance(absmax, (tuple, list)):   # sow default: tuple
+                    absmax = absmax[0]
+                out["act_scale"] = jnp.asarray(
+                    np.maximum(np.float32(absmax), 1e-6) / 127.0,
+                    jnp.float32)
+            return out
+        return {k: walk(v, i.get(k, {})) if isinstance(v, dict) else v
+                for k, v in p.items()}
+
+    return {"params": walk(qvars["params"], agg)}

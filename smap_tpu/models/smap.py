@@ -41,7 +41,7 @@ UPSAMPLE_IN_PLANES = (2048, 1024, 512, 256)
 class ResNetTop(nn.Module):
     """Stem: 7x7/2 conv + 3x3/2 max-pool (reference: model/smap.py:80-92)."""
 
-    quant: bool = False
+    quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -56,7 +56,7 @@ class DownsampleModule(nn.Module):
     """ResNet-50 trunk emitting 4 scales (reference: model/smap.py:95-154)."""
 
     has_skip: bool = False
-    quant: bool = False
+    quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -104,7 +104,7 @@ class UpsampleUnit(nn.Module):
     gen_skip: bool = False
     gen_cross_conv: bool = False
     heads: Tuple[bool, bool, bool] = (True, True, True)
-    quant: bool = False
+    quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -169,7 +169,7 @@ class UpsampleModule(nn.Module):
     gen_skip: bool = False
     gen_cross_conv: bool = False
     head_spec: Tuple[Tuple[bool, bool, bool], ...] = ALL_HEADS
-    quant: bool = False
+    quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -214,7 +214,7 @@ class Stage(nn.Module):
     gen_skip: bool = False
     gen_cross_conv: bool = False
     head_spec: Tuple[Tuple[bool, bool, bool], ...] = ALL_HEADS
-    quant: bool = False
+    quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
 
     @nn.compact
