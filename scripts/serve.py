@@ -128,6 +128,16 @@ def main() -> None:
                              "activation quant; small accuracy cost — "
                              "see smap_tpu/models/quantize.py and the "
                              "runtime caveat in docs/perf_notes.md)")
+    parser.add_argument("--int8-static", action="store_true",
+                        help="int8 forward with STATIC activation scales: "
+                             "calibrated once on frames from --calib-dir "
+                             "(default: the first batch of --source, which "
+                             "must then be a directory); removes the "
+                             "per-conv abs-max reductions the dynamic mode "
+                             "pays per call")
+    parser.add_argument("--calib-dir", default="",
+                        help="image directory for --int8-static calibration "
+                             "(up to one batch of frames)")
     parser.add_argument("--out", default="-",
                         help="output JSONL path ('-' = stdout)")
     args = parser.parse_args()
@@ -170,11 +180,34 @@ def main() -> None:
         if len(jax.local_devices()) > 1:
             mesh = make_mesh(jax.local_devices())
 
+    if args.int8 and args.int8_static:
+        raise SystemExit("--int8 and --int8-static are mutually exclusive")
+    calibration_batches = None
+    quantized = args.int8
+    if args.int8_static:
+        calib_dir = args.calib_dir or (
+            args.source if os.path.isdir(args.source) else "")
+        if not calib_dir:
+            raise SystemExit("--int8-static needs --calib-dir (or a "
+                             "directory --source to calibrate on)")
+        calib_paths = sorted(
+            p for ext in ("jpg", "png", "jpeg")
+            for p in glob.glob(os.path.join(calib_dir, f"**/*.{ext}"),
+                               recursive=True))[:args.batch_size]
+        if not calib_paths:
+            raise SystemExit(f"no calibration images under {calib_dir}")
+        calib = [bgr_to_i420(letterbox_image(
+            cv2.imread(p, cv2.IMREAD_COLOR), cfg.input_shape)[0])
+            for p in calib_paths]
+        calibration_batches = [np.stack(calib)]
+        quantized = "static"
+
     ladder = (tuple(int(c) for c in args.adaptive_capacities.split(","))
               if args.adaptive_capacities else None)
     engine = SMAPInference(variables, cfg, refine_variables,
                            adaptive_capacities=ladder, mesh=mesh,
-                           quantized=args.int8)
+                           quantized=quantized,
+                           calibration_batches=calibration_batches)
     sink = sys.stdout if args.out == "-" else open(args.out, "a")
 
     if os.path.isdir(args.source):

@@ -28,6 +28,29 @@ from smap_tpu.ops.postprocess import (PoseResults, ScaleInfo, flip_tta_merge,
 from smap_tpu.ops.refine import apply_refinement, build_refine_input
 
 
+def prepare_images(images: jnp.ndarray) -> jnp.ndarray:
+    """Wire format -> normalized float32 BGR, on device (jit-traceable).
+
+    Accepts packed planar I420 ``[B, 3H/2, W] uint8`` (the video wire
+    format), letterboxed ``[B, H, W, 3] uint8``, or already-normalized
+    float32 (returned unchanged). The chroma upsample / BT.601 conversion
+    and the ``(x/255 - mean)/std`` normalization fuse into whatever jit
+    this is traced inside (the serving forward, or the calibration
+    forward for static int8).
+    """
+    if images.ndim == 3:
+        from smap_tpu.data.preprocess import i420_to_bgr
+
+        means = jnp.asarray(PIXEL_MEANS_BGR, jnp.float32)
+        stds = jnp.asarray(PIXEL_STDS_BGR, jnp.float32)
+        return (i420_to_bgr(images) / 255.0 - means) / stds
+    if images.dtype == jnp.uint8:
+        means = jnp.asarray(PIXEL_MEANS_BGR, jnp.float32)
+        stds = jnp.asarray(PIXEL_STDS_BGR, jnp.float32)
+        return (images.astype(jnp.float32) / 255.0 - means) / stds
+    return images
+
+
 class SMAPInference:
     """Batched, jit-compiled inference pipeline.
 
@@ -85,18 +108,28 @@ class SMAPInference:
         overflow_fallback (the ladder already escalates).
       quantized: int8 serving forward — folds BatchNorm and pre-quantizes
         the weights once (smap_tpu.models.quantize), then runs convs
-        int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e) with
-        dynamic per-tensor activation quantization. Opt-in
-        speed/accuracy trade (tests/test_quantize.py pins the error);
-        ignored if cfg.model.quantized is already set (variables are
-        then expected to be pre-quantized).
+        int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e).
+        ``True`` = dynamic per-tensor activation quantization (one
+        on-device abs-max reduction per conv input). ``"static"`` =
+        frozen per-conv activation scales calibrated from
+        ``calibration_batches``, removing every per-call reduction from
+        the serving graph (inputs hotter than the calibration range clip
+        at +-127 — calibrate on representative frames). Opt-in
+        speed/accuracy trade (tests/test_quantize.py pins the error).
+        If ``cfg.model.quantized`` is already set, the variables are
+        expected to be pre-quantized (and, for "static", pre-calibrated:
+        uncalibrated scales are rejected loudly at construction).
+      calibration_batches: for ``quantized="static"`` only — one batch
+        or an iterable of batches in ANY run_batch input format (f32
+        normalized, letterboxed uint8, or packed I420); used once at
+        construction to freeze the per-conv activation scales.
     """
 
     def __init__(self, variables, cfg: Config = Config(),
                  refine_variables=None, do_flip: bool = False,
                  fused: bool = False, overflow_fallback: bool = False,
                  adaptive_capacities=None, mesh=None,
-                 quantized: bool = False):
+                 quantized=False, calibration_batches=None):
         if fused and (overflow_fallback or adaptive_capacities):
             raise ValueError("overflow_fallback/adaptive_capacities require "
                              "the split (fused=False) pipeline")
@@ -109,11 +142,35 @@ class SMAPInference:
             # runtime), then run the quant model graph.
             import dataclasses
 
-            from smap_tpu.models.quantize import quantize_variables
+            from smap_tpu.models.quantize import (calibrate_activation_scales,
+                                                  quantize_variables)
 
+            if quantized == "static" and calibration_batches is None:
+                raise ValueError(
+                    'quantized="static" needs calibration_batches '
+                    "(or pass pre-calibrated variables with "
+                    'cfg.model.quantized="static")')
             variables = jax.jit(quantize_variables)(variables)
+            if quantized == "static":
+                if isinstance(calibration_batches, np.ndarray) or hasattr(
+                        calibration_batches, "ndim"):
+                    calibration_batches = [calibration_batches]
+                # Calibration sees exactly what serving sees: the same
+                # on-device wire-format conversion + normalization.
+                prep = jax.jit(prepare_images)
+                batches = [prep(jnp.asarray(b)) for b in calibration_batches]
+                variables = calibrate_activation_scales(
+                    variables, cfg.model, batches)
             cfg = dataclasses.replace(
-                cfg, model=dataclasses.replace(cfg.model, quantized=True))
+                cfg, model=dataclasses.replace(cfg.model,
+                                               quantized=quantized))
+        if (quantized == "static" or cfg.model.quantized == "static"):
+            from smap_tpu.models.quantize import check_static_scales
+
+            # Loud rejection of uncalibrated static variables (act_scale
+            # missing or still at the 0 init sentinel) — silently serving
+            # scale-0 garbage is the failure mode this guards against.
+            check_static_scales(variables)
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
@@ -175,25 +232,11 @@ class SMAPInference:
         self._post_cache = {}   # capacity -> lazily-jitted post program
 
     def _forward(self, variables, images: jnp.ndarray):
-        if images.ndim == 3:
-            # Packed planar I420 [B, 3H/2, W] uint8 — the video-serving wire
-            # format (decoders natively emit YUV 4:2:0). Chroma upsample +
-            # BT.601 conversion run on device (data.preprocess.i420_to_bgr);
-            # 1.5 bytes/pixel over the link instead of 3.
-            from smap_tpu.data.preprocess import i420_to_bgr
-
-            means = jnp.asarray(PIXEL_MEANS_BGR, jnp.float32)
-            stds = jnp.asarray(PIXEL_STDS_BGR, jnp.float32)
-            images = (i420_to_bgr(images) / 255.0 - means) / stds
-        elif images.dtype == jnp.uint8:
-            # Device-side normalization: serving feeds letterboxed uint8
-            # frames (4x less host->device traffic than normalized f32 —
-            # the transfer link, not compute, bounds this pipeline) and the
-            # (x/255 - mean)/std of data.preprocess.normalize_image runs
-            # fused into the forward program here.
-            means = jnp.asarray(PIXEL_MEANS_BGR, jnp.float32)
-            stds = jnp.asarray(PIXEL_STDS_BGR, jnp.float32)
-            images = (images.astype(jnp.float32) / 255.0 - means) / stds
+        # Wire-format conversion + normalization fuse into the forward
+        # program (prepare_images): I420 moves 1.5 bytes/pixel over the
+        # host->device link, uint8 3 — vs 12 for normalized f32; the
+        # transfer link, not compute, bounds real serving pipelines.
+        images = prepare_images(images)
         if self.do_flip:
             # One 2B-batch forward instead of two sequential applies: the
             # upright and W-flipped halves are independent, so batching

@@ -139,12 +139,23 @@ class Conv2D(nn.Module):
                               (self.features,), jnp.float32)
             xf = x.astype(jnp.float32)
             if self.quant == "static":
-                s_x = self.param("act_scale", nn.initializers.ones,
+                # Initialized to 0 — an INVALID sentinel, not a usable
+                # scale: init-produced static variables must go through
+                # quantize.calibrate_activation_scales before serving, and
+                # the engine (SMAPInference) rejects non-positive scales
+                # loudly via quantize.check_static_scales instead of
+                # silently serving garbage at scale 1.0.
+                s_x = self.param("act_scale", nn.initializers.zeros,
                                  (), jnp.float32)
             else:
                 absmax = jnp.max(jnp.abs(xf))
                 self.sow("intermediates", "act_absmax", absmax)
-                s_x = jnp.maximum(absmax, 1e-6) / 127.0
+                # Explicit multiply-by-reciprocal, NOT /127.0: XLA rewrites
+                # constant-divisor division to this anyway, and spelling it
+                # out lets the static calibration (quantize.py) reproduce
+                # the scale BIT-exactly on host — a 1-ulp scale difference
+                # moves round() boundaries and cascades through the net.
+                s_x = jnp.maximum(absmax, 1e-6) * jnp.float32(1.0 / 127.0)
             xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 xq, kernel_q, self.strides, list(self.padding),

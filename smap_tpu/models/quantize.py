@@ -81,6 +81,40 @@ def quantize_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": walk(params, stats)}
 
 
+def check_static_scales(variables: Dict[str, Any]) -> None:
+    """Reject uncalibrated static-int8 variables loudly.
+
+    A static model built from ``model.init`` (or from
+    :func:`quantize_variables` without :func:`calibrate_activation_scales`)
+    carries the 0-sentinel / missing ``act_scale`` and would otherwise
+    serve garbage silently. Called by ``SMAPInference`` before serving
+    ``quantized="static"`` variables.
+    """
+    bad, found = [], [0]
+
+    def walk(p, path):
+        for k, v in p.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            elif k == "act_scale":
+                found[0] += 1
+                a = np.asarray(v)
+                if not np.all(np.isfinite(a)) or np.any(a <= 0):
+                    bad.append("/".join(path))
+
+    walk(variables["params"], ())
+    if not found[0]:
+        raise ValueError(
+            "static-int8 variables carry no act_scale parameters; run "
+            "quantize.calibrate_activation_scales on them first")
+    if bad:
+        raise ValueError(
+            f"static-int8 act_scale is non-positive/non-finite (i.e. "
+            f"uncalibrated) for conv blocks: {bad[:5]}"
+            f"{' ...' if len(bad) > 5 else ''}; run "
+            f"quantize.calibrate_activation_scales on these variables")
+
+
 def calibrate_activation_scales(qvars: Dict[str, Any], model_cfg,
                                 batches: Union[Iterable, Any],
                                 ) -> Dict[str, Any]:
@@ -92,12 +126,16 @@ def calibrate_activation_scales(qvars: Dict[str, Any], model_cfg,
     (`smap_tpu.models.layers.Conv2D`) — takes the elementwise max across
     batches, and writes ``act_scale = max(absmax, 1e-6) / 127`` into each
     conv's parameter block. The result runs under
-    ``ModelConfig(quantized="static")``: bit-identical to the dynamic
-    graph on the calibration data itself, and free of the per-conv
-    abs-max reductions that serialize between convs at serving time
-    (docs/perf_notes.md round-3 item 9). Inputs hotter than the
-    calibration range clip at +-127 (standard post-training static
-    quantization behavior); calibrate on representative frames.
+    ``ModelConfig(quantized="static")``: free of the per-conv abs-max
+    reductions that serialize between convs at serving time
+    (docs/perf_notes.md round-3 item 9). With a SINGLE calibration batch
+    the static graph is bit-identical to the dynamic graph on that batch
+    (each frozen scale equals the dynamic per-call scale); with multiple
+    batches the frozen scale is the max ACROSS batches, so static outputs
+    on any one batch differ slightly from that batch's own dynamic run.
+    Inputs hotter than the calibration range clip at +-127 (standard
+    post-training static quantization behavior); calibrate on
+    representative frames.
 
     Args:
       qvars: output of :func:`quantize_variables`.
@@ -141,10 +179,18 @@ def calibrate_activation_scales(qvars: Dict[str, Any], model_cfg,
             absmax = i.get("act_absmax")
             if absmax is not None:
                 if isinstance(absmax, (tuple, list)):   # sow default: tuple
-                    absmax = absmax[0]
+                    # Max over ALL sow entries: a module applied more than
+                    # once per forward (e.g. shared weights or an in-graph
+                    # flip) sows one absmax per call, and dropping the
+                    # later ones would under-calibrate that conv.
+                    absmax = np.max([np.float32(a) for a in absmax])
+                # Same op chain (and dtypes) as the dynamic graph's s_x in
+                # layers.Conv2D — f32 max then multiply-by-reciprocal — so
+                # single-batch calibration reproduces the dynamic scale
+                # bit-exactly.
                 out["act_scale"] = jnp.asarray(
-                    np.maximum(np.float32(absmax), 1e-6) / 127.0,
-                    jnp.float32)
+                    np.maximum(np.float32(absmax), np.float32(1e-6))
+                    * np.float32(1.0 / 127.0), jnp.float32)
             return out
         return {k: walk(v, i.get(k, {})) if isinstance(v, dict) else v
                 for k, v in p.items()}
