@@ -16,22 +16,42 @@ import os
 
 import numpy as np
 
-from make_golden import GOLDEN_PATH, SCENES, decode_scenes
+import pytest
+
+from make_golden import (GOLDEN_PATH, SCENES, decode_scenes,
+                         decode_variant_scenes)
 
 
-def test_decode_matches_golden_corpus():
-    with open(GOLDEN_PATH) as f:
-        golden = json.load(f)["scenes"]
-    got = decode_scenes()
+def _assert_matches(got, golden, label=""):
     assert len(got) == len(golden) == len(SCENES)
     for g, want in zip(got, golden):
         assert g["seed"] == want["seed"]
-        assert g["count"] == want["count"], (g["seed"], g["count"],
+        assert g["count"] == want["count"], (label, g["seed"], g["count"],
                                              want["count"])
         for key in ("bodies_2d", "bodies_3d", "root_depth"):
             np.testing.assert_allclose(
                 np.asarray(g[key]), np.asarray(want[key]),
                 rtol=1e-3, atol=2e-3,
-                err_msg=f"seed {g['seed']} {key} diverged from the golden "
-                        f"corpus — if this numerics change is intentional "
-                        f"and reviewed, regenerate with tests/make_golden.py")
+                err_msg=f"{label} seed {g['seed']} {key} diverged from the "
+                        f"golden corpus — if this numerics change is "
+                        f"intentional and reviewed, regenerate with "
+                        f"tests/make_golden.py")
+
+
+def test_decode_matches_golden_corpus():
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)["scenes"]
+    _assert_matches(decode_scenes(), golden)
+
+
+@pytest.mark.slow
+def test_serving_variants_match_golden_corpus():
+    """The serving-path decode configs — capacity-8 ladder rung, flip-TTA
+    merged maps, RefineNet-in-loop — are frozen too, so serving numerics
+    can't drift silently while the base decode stays green."""
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)["variants"]
+    got = decode_variant_scenes()
+    assert sorted(got) == sorted(golden)
+    for name in sorted(got):
+        _assert_matches(got[name], golden[name], label=name)
