@@ -138,6 +138,12 @@ def main() -> None:
     parser.add_argument("--calib-dir", default="",
                         help="image directory for --int8-static calibration "
                              "(up to one batch of frames)")
+    parser.add_argument("--folded", action="store_true",
+                        help="full-precision bf16 serving with BatchNorm "
+                             "folded into the conv weights and the "
+                             "HBM-bound layer1 bottlenecks fused into "
+                             "single Pallas kernels (smap_tpu/ops/"
+                             "fused_block.py); no quantization loss")
     parser.add_argument("--out", default="-",
                         help="output JSONL path ('-' = stdout)")
     args = parser.parse_args()
@@ -180,10 +186,11 @@ def main() -> None:
         if len(jax.local_devices()) > 1:
             mesh = make_mesh(jax.local_devices())
 
-    if args.int8 and args.int8_static:
-        raise SystemExit("--int8 and --int8-static are mutually exclusive")
+    if sum((args.int8, args.int8_static, args.folded)) > 1:
+        raise SystemExit("--int8 / --int8-static / --folded are mutually "
+                         "exclusive")
     calibration_batches = None
-    quantized = args.int8
+    quantized = "folded" if args.folded else args.int8
     if args.int8_static:
         calib_dir = args.calib_dir or (
             args.source if os.path.isdir(args.source) else "")

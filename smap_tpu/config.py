@@ -124,8 +124,12 @@ class ModelConfig:
     # docs/perf_notes.md round-3 item 9. "static" additionally freezes
     # the per-conv activation scales from calibration batches
     # (smap_tpu.models.quantize.calibrate_activation_scales), removing
-    # every per-call abs-max reduction from the serving graph.
-    quantized: Any = False   # False | True (dynamic) | "static"
+    # every per-call abs-max reduction from the serving graph. "folded"
+    # is the full-precision serving mode: BN folded into conv kernel/bias
+    # (quantize.fold_bn_variables) and the HBM-bound stride-1 bottleneck
+    # blocks executed as one fused Pallas kernel each
+    # (smap_tpu.ops.fused_block; docs/perf_notes.md round-4).
+    quantized: Any = False   # False | True (dynamic) | "static" | "folded"
 
     @property
     def kpt_paf_channels(self) -> int:

@@ -114,8 +114,13 @@ class SMAPInference:
         frozen per-conv activation scales calibrated from
         ``calibration_batches``, removing every per-call reduction from
         the serving graph (inputs hotter than the calibration range clip
-        at +-127 — calibrate on representative frames). Opt-in
-        speed/accuracy trade (tests/test_quantize.py pins the error).
+        at +-127 — calibrate on representative frames). ``"folded"`` =
+        full-precision bf16 with BatchNorm folded into the conv weights
+        and the HBM-bound stride-1 bottleneck blocks fused into single
+        Pallas kernels (smap_tpu.ops.fused_block) — no quantization
+        loss, just the BN-fold reassociation (tests/test_fused_block.py
+        bounds it). The int8 modes are an opt-in speed/accuracy trade
+        (tests/test_quantize.py pins the error).
         If ``cfg.model.quantized`` is already set, the variables are
         expected to be pre-quantized (and, for "static", pre-calibrated:
         uncalibrated scales are rejected loudly at construction).
@@ -137,12 +142,16 @@ class SMAPInference:
             raise ValueError("adaptive_capacities already escalates; don't "
                              "combine it with overflow_fallback")
         if quantized and not cfg.model.quantized:
-            # int8 serving: fold BN + pre-quantize weights once (jitted —
-            # eager op-by-op transforms are pathological on the tunneled
-            # runtime), then run the quant model graph.
+            # Serving weight transform, applied once (jitted — eager
+            # op-by-op transforms are pathological on the tunneled
+            # runtime): int8 modes fold BN + pre-quantize weights;
+            # "folded" folds BN only (full precision) and routes the
+            # HBM-bound bottleneck blocks through the fused Pallas kernel
+            # (smap_tpu.ops.fused_block).
             import dataclasses
 
             from smap_tpu.models.quantize import (calibrate_activation_scales,
+                                                  fold_bn_variables,
                                                   quantize_variables)
 
             if quantized == "static" and calibration_batches is None:
@@ -150,7 +159,8 @@ class SMAPInference:
                     'quantized="static" needs calibration_batches '
                     "(or pass pre-calibrated variables with "
                     'cfg.model.quantized="static")')
-            variables = jax.jit(quantize_variables)(variables)
+            variables = jax.jit(fold_bn_variables if quantized == "folded"
+                                else quantize_variables)(variables)
             if quantized == "static":
                 if isinstance(calibration_batches, np.ndarray) or hasattr(
                         calibration_batches, "ndim"):

@@ -10,6 +10,7 @@ instead of emitting gathers.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -130,7 +131,7 @@ class Conv2D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
         cin = x.shape[-1]
-        if self.quant:
+        if self.quant and self.quant != "folded":
             kernel_q = self.param("kernel_q", nn.initializers.zeros,
                                   (kh, kw, cin, self.features), jnp.int8)
             kernel_scale = self.param("kernel_scale", nn.initializers.ones,
@@ -207,8 +208,9 @@ class ConvBnRelu(nn.Module):
                    padding=pad, quant=self.quant, dtype=self.dtype,
                    name="conv")(x)
         if self.has_bn and not self.quant:
-            # quant mode: BN is already folded into the int8 kernel/bias
-            # (smap_tpu.models.quantize), inference-only by construction.
+            # quant/"folded" modes: BN is already folded into the serving
+            # kernel/bias (smap_tpu.models.quantize.quantize_variables /
+            # fold_bn_variables), inference-only by construction.
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              param_dtype=jnp.float32, name="bn")(x)
@@ -217,18 +219,91 @@ class ConvBnRelu(nn.Module):
         return x
 
 
+class _ConvParams(nn.Module):
+    """Param-only stand-in for a BN-folded Conv2D: owns the identical
+    ``{kernel, bias}`` leaves (same shapes/initializers) but returns them
+    for a fused Pallas kernel instead of applying a convolution."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.kaiming_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _FoldedBlockParams(nn.Module):
+    """Param-only stand-in for a folded ConvBnRelu block (the fused
+    bottleneck path): same ``{conv: {kernel, bias}}`` subtree as
+    ConvBnRelu consumes after quantize.fold_bn_variables."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return _ConvParams(self.features, self.kernel_size,
+                           name="conv")(cin)
+
+
+# Fused-bottleneck serving kernel (quant="folded"): opt-out escape hatch
+# for A/B tests and runtimes where Mosaic misbehaves.
+FUSE_BOTTLENECK = os.environ.get("SMAP_TPU_FUSE_BOTTLENECK", "1") != "0"
+
+
 class Bottleneck(nn.Module):
-    """ResNet-50 bottleneck block (reference: model/smap.py:48-77)."""
+    """ResNet-50 bottleneck block (reference: model/smap.py:48-77).
+
+    Under ``quant="folded"`` (BN already folded into conv kernel/bias by
+    smap_tpu.models.quantize.fold_bn_variables), stride-1 blocks in the
+    HBM-bound high-spatial/low-channel regime execute as ONE fused Pallas
+    kernel (smap_tpu.ops.fused_block) that keeps the 64-ch intermediates
+    in VMEM — docs/perf_notes.md round-4: the unfused block is
+    bandwidth-bound at 16 TFLOPS at the layer1 shape. Parameter tree is
+    unchanged (same {conv_bn_relu*/conv/{kernel,bias}} leaves).
+    """
 
     planes: int
     stride: int = 1
     has_downsample: bool = False
-    quant: Any = False   # False | True (dynamic int8) | "static"
+    quant: Any = False   # False | True (dynamic int8) | "static" | "folded"
     dtype: Dtype = jnp.float32
     expansion: int = 4
 
+    def _fuse_eligible(self, x: jnp.ndarray) -> bool:
+        from smap_tpu.ops.fused_block import TILE_ROWS
+
+        return (FUSE_BOTTLENECK and self.quant == "folded"
+                and self.stride == 1 and self.planes <= 64
+                and x.shape[1] % TILE_ROWS == 0)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self._fuse_eligible(x):
+            from smap_tpu.ops.fused_block import fused_bottleneck
+
+            cin = x.shape[-1]
+            cout = self.planes * self.expansion
+            w1, b1 = _FoldedBlockParams(self.planes, (1, 1),
+                                        name="conv_bn_relu1")(cin)
+            w2, b2 = _FoldedBlockParams(self.planes, (3, 3),
+                                        name="conv_bn_relu2")(self.planes)
+            w3, b3 = _FoldedBlockParams(cout, (1, 1),
+                                        name="conv_bn_relu3")(self.planes)
+            wd = bd = None
+            if self.has_downsample:
+                wd, bd = _FoldedBlockParams(cout, (1, 1),
+                                            name="downsample")(cin)
+            y = fused_bottleneck(
+                x, w1[0, 0], b1, w2, b2, w3[0, 0], b3,
+                None if wd is None else wd[0, 0], bd,
+                interpret=jax.default_backend() == "cpu")
+            return y.astype(self.dtype)
         out = ConvBnRelu(self.planes, (1, 1), quant=self.quant,
                          dtype=self.dtype, name="conv_bn_relu1")(x, train)
         out = ConvBnRelu(self.planes, (3, 3), strides=(self.stride, self.stride),

@@ -42,19 +42,52 @@ import numpy as np
 BN_EPS = 1e-5   # matches nn.BatchNorm epsilon in smap_tpu.models.layers
 
 
-def _fold_and_quantize_conv(conv: Dict[str, Any], bn: Dict[str, Any],
-                            bn_stats: Dict[str, Any]) -> Dict[str, Any]:
+def _fold_conv(conv: Dict[str, Any], bn: Dict[str, Any],
+               bn_stats: Dict[str, Any]):
+    """Fold inference BatchNorm (running stats) into (kernel, bias), f32."""
     kernel = conv["kernel"].astype(jnp.float32)
     bias = conv["bias"].astype(jnp.float32)
     if bn is not None:
         inv = bn["scale"] / jnp.sqrt(bn_stats["var"] + BN_EPS)
         kernel = kernel * inv            # broadcasts over [kh,kw,ci,co]
         bias = bn["bias"] + (bias - bn_stats["mean"]) * inv
+    return kernel, bias
+
+
+def _fold_and_quantize_conv(conv: Dict[str, Any], bn: Dict[str, Any],
+                            bn_stats: Dict[str, Any]) -> Dict[str, Any]:
+    kernel, bias = _fold_conv(conv, bn, bn_stats)
     scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
                         1e-8) / 127.0    # per-output-channel
     kq = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
     return {"kernel_q": kq, "kernel_scale": scale.astype(jnp.float32),
             "bias": bias.astype(jnp.float32)}
+
+
+def fold_bn_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """f32 SMAP variables -> BN-folded full-precision serving variables.
+
+    The bf16 counterpart of :func:`quantize_variables`: every
+    ``{"conv": {kernel, bias}[, "bn": ...]}`` block becomes
+    ``{"conv": {kernel, bias}}`` with the inference BatchNorm affine
+    folded in; batch_stats are consumed. The result runs under
+    ``ModelConfig(quantized="folded")`` — the serving mode whose eligible
+    bottleneck blocks execute as the fused Pallas kernel
+    (smap_tpu.ops.fused_block), which requires BN-free conv+bias blocks.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def walk(p, s):
+        s = s if isinstance(s, dict) else {}
+        if "conv" in p and isinstance(p["conv"], dict) \
+                and "kernel" in p["conv"]:
+            kernel, bias = _fold_conv(p["conv"], p.get("bn"), s.get("bn"))
+            return {"conv": {"kernel": kernel, "bias": bias}}
+        return {k: walk(v, s.get(k, {})) if isinstance(v, dict) else v
+                for k, v in p.items()}
+
+    return {"params": walk(params, stats)}
 
 
 def quantize_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
