@@ -35,7 +35,12 @@ FWD_TFLOP = 5.018       # full infer program, batch 16 (_flops_probe.py)
 def measure(tag, fn, streams, tflop_per_call):
     min_ms = tflop_per_call / PEAK_TFLOPS * 1e3
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(streams[0]))
+    try:
+        jax.block_until_ready(fn(streams[0]))
+    except Exception as e:  # e.g. Mosaic VMEM OOM on a variant
+        print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+        return None
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     outs = [fn(streams[i + 1]) for i in range(ITERS)]
@@ -86,18 +91,24 @@ def block_chain(rng, n, cin, cm, fused, tile_rows=8, im2col=True):
     return run
 
 
-def stem_chain(rng, n):
+def stem_chain(rng, n, impl="conv"):
     """Dependent repetitions of the stem conv (7x7/2, 3->64) + 3x3/2
     maxpool at 512x832 — shape changes, so feed a scalar of the output
-    back into the input to keep iterations dependent."""
+    back into the input to keep iterations dependent. impl: "conv"
+    (direct lowering) | "s2d" (layers.s2d_conv7x7s2)."""
+    from smap_tpu.models.layers import s2d_conv7x7s2
+
     w = jax.device_put((rng.randn(7, 7, 3, 64) * 0.05).astype(jnp.bfloat16))
 
     @jax.jit
     def run(x):
         def step(c, _):
-            y = jax.lax.conv_general_dilated(
-                c, w, (2, 2), [(3, 3), (3, 3)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if impl == "s2d":
+                y = s2d_conv7x7s2(c, w)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    c, w, (2, 2), [(3, 3), (3, 3)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = jax.lax.reduce_window(
                 y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
                 [(0, 0), (1, 1), (1, 1), (0, 0)])
@@ -167,10 +178,10 @@ def main():
             f"{tag} unfused x{n}", block_chain(rng, n, cin, cm, False),
             streams, tflop)
         if tag.startswith("L1"):
-            # Fused-kernel variant sweep at the L1 shape only (the
-            # HBM-bound one): tile rows x conv2 formulation.
-            for tile, i2c in ((8, False), (8, True), (16, True),
-                              (16, False)):
+            # Best fused variant from the g2 sweep (t8m 28.5 / t8i 25.6 /
+            # t16i 25.1 ms vs 17.0 unfused; t16m VMEM-OOMs) — re-certify
+            # only t16i here.
+            for tile, i2c in ((16, True),):
                 vtag = f"{tag} fused t{tile}{'i' if i2c else 'm'}"
                 results[vtag] = measure(
                     vtag, block_chain(rng, n, cin, cm, True, tile, i2c),
@@ -184,8 +195,10 @@ def main():
                for _ in range(ITERS + 1)]
     jax.block_until_ready(streams)
     stem_tflop = 2 * BATCH * 256 * 416 * 49 * 3 * 64 * n_stem / 1e12
-    results["stem"] = measure(f"stem x{n_stem}", stem_chain(rng, n_stem),
-                              streams, stem_tflop)
+    for impl in ("conv", "s2d"):
+        results[f"stem {impl}"] = measure(
+            f"stem {impl} x{n_stem}", stem_chain(rng, n_stem, impl),
+            streams, stem_tflop)
     del streams
 
     # 3. Full forward, plain vs folded (compile-heavy; last).
@@ -205,8 +218,11 @@ def main():
         ms = results.get(f"{tag} unfused")
         if ms:
             acct[tag] = round(ms / n * n_model, 1)
-    if results.get("stem"):
-        acct["stem x3"] = round(results["stem"] / n_stem * 3, 1)
+    # The stem runs ONCE per forward (SMAP.__call__ chains stages via
+    # cross_conv), so its in-model attribution is x1.
+    for impl in ("conv", "s2d"):
+        if results.get(f"stem {impl}"):
+            acct[f"stem {impl}"] = round(results[f"stem {impl}"] / n_stem, 1)
     print("SECTION_ACCOUNT(ms in model)", acct, flush=True)
     print("RESULT", {k: (round(v, 1) if v else None)
                      for k, v in results.items()}, flush=True)

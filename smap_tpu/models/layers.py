@@ -100,6 +100,40 @@ def matmul_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
     return acc.astype(x.dtype)
 
 
+# Stem lowering: "s2d" rewrites the 7x7/2 RGB stem conv as a 2x2
+# space-to-depth + 4x4/1 conv over 4*Cin channels — identical
+# multiply-adds with the channel (lane) dim at 12 instead of 3. Default
+# OFF: measured slightly SLOWER than the direct lowering (5.6 vs 4.7
+# ms/op incl. pool — the XLA transpose costs more than the channels
+# save; the Cin=3 conv's wall isn't lane starvation, perf_notes
+# round-4). The stem lever that wins is the fused Pallas stem
+# (smap_tpu/ops/fused_stem.py) on the serving path.
+STEM_IMPL = os.environ.get("SMAP_TPU_STEM_IMPL", "conv")
+
+
+def s2d_conv7x7s2(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Exact 7x7 stride-2 pad-3 NHWC conv via 2x2 space-to-depth.
+
+    out[i,j] = sum_{u,v,c} x[2i+u-3, 2j+v-3, c] * k[u,v,c]. Substituting
+    m = 2i+u-3 = 2(i+p-2)+a with u' = u+1 = 2p+a (p in 0..3, a in 0..1;
+    u'=0 is the zero tap row) turns it into a 4x4 stride-1 conv with
+    padding (2,1) over y[r,s,(a,b,c)] = x[2r+a, 2s+b, c]. H and W must be
+    even (the model's inputs are). Same contraction terms -> numerically
+    identical to the direct conv up to f32-accumulation order.
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, co = kernel.shape
+    y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    kp = jnp.zeros((kh + 1, kw + 1, c, co), kernel.dtype)
+    kp = kp.at[1:, 1:].set(kernel)
+    k2 = kp.reshape(4, 2, 4, 2, c, co).transpose(0, 2, 1, 3, 4, 5)
+    k2 = k2.reshape(4, 4, 4 * c, co)
+    return jax.lax.conv_general_dilated(
+        y, k2, (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Conv2D(nn.Module):
     """2D convolution with selectable lowering; parameters match nn.Conv
     (HWIO 'kernel' + 'bias') so torch-checkpoint conversion is unchanged.
@@ -171,6 +205,11 @@ class Conv2D(nn.Module):
                           (self.features,), jnp.float32)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+        if (STEM_IMPL == "s2d" and (kh, kw) == (7, 7)
+                and self.strides == (2, 2) and cin <= 4
+                and tuple(map(tuple, self.padding)) == ((3, 3), (3, 3))
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            return s2d_conv7x7s2(x, kernel) + bias.astype(self.dtype)
         if CONV_IMPL == "matmul":
             y = matmul_conv2d(x, kernel, self.strides, self.padding)
         else:
@@ -251,9 +290,13 @@ class _FoldedBlockParams(nn.Module):
                            name="conv")(cin)
 
 
-# Fused-bottleneck serving kernel (quant="folded"): opt-out escape hatch
-# for A/B tests and runtimes where Mosaic misbehaves.
-FUSE_BOTTLENECK = os.environ.get("SMAP_TPU_FUSE_BOTTLENECK", "1") != "0"
+# Fused-bottleneck serving kernel (quant="folded"): default OFF — built
+# on the HBM-traffic argument but measured SLOWER than the unfused XLA
+# block on hardware (25-28 vs 17 ms per 12-block chain; the in-VMEM
+# matmuls are lane-starved at N=Cm=64 and the VPU work between them
+# serializes — docs/perf_notes.md round-4). SMAP_TPU_FUSE_BOTTLENECK=1
+# re-enables for A/B.
+FUSE_BOTTLENECK = os.environ.get("SMAP_TPU_FUSE_BOTTLENECK", "0") == "1"
 
 
 class Bottleneck(nn.Module):

@@ -22,13 +22,16 @@ Per-stage topology (reference: model/smap.py:289-310):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from smap_tpu.config import ModelConfig
-from smap_tpu.models.layers import (Bottleneck, ConvBnRelu, max_pool_3x3_s2,
+from smap_tpu.models.layers import (Bottleneck, ConvBnRelu,
+                                    _FoldedBlockParams, max_pool_3x3_s2,
                                     resize_bilinear)
 
 Dtype = Any
@@ -37,15 +40,45 @@ RESNET50_LAYERS = (3, 4, 6, 3)
 DOWNSAMPLE_PLANES = (64, 128, 256, 512)
 UPSAMPLE_IN_PLANES = (2048, 1024, 512, 256)
 
+# Fused Pallas stem (conv7x7/2 + bias + relu + maxpool3x3/2 in one HBM
+# pass, smap_tpu/ops/fused_stem.py) on the BN-folded serving path. The
+# stem (run once per forward) is the forward's worst section per FLOP on
+# the target part (3% MFU conv + ~8x-over-bound reduce_window = 4.7 of
+# 60 ms, docs/perf_notes.md round-4). Default set by the stem-probe A/B.
+FUSE_STEM = os.environ.get("SMAP_TPU_FUSE_STEM", "0") == "1"
+
 
 class ResNetTop(nn.Module):
-    """Stem: 7x7/2 conv + 3x3/2 max-pool (reference: model/smap.py:80-92)."""
+    """Stem: 7x7/2 conv + 3x3/2 max-pool (reference: model/smap.py:80-92).
 
-    quant: Any = False   # False | True (dynamic int8) | "static"
+    Under ``quant="folded"`` (BN folded into conv kernel/bias by
+    smap_tpu.models.quantize.fold_bn_variables) with ``FUSE_STEM`` on,
+    the whole stem executes as one fused Pallas kernel from the double
+    space-to-depth layout. Parameter tree is unchanged (same
+    ``conv/conv/{kernel,bias}`` leaves as the folded ConvBnRelu path).
+    """
+
+    quant: Any = False   # False | True (dynamic int8) | "static" | "folded"
     dtype: Dtype = jnp.float32
+
+    def _fuse_eligible(self, x: jnp.ndarray) -> bool:
+        from smap_tpu.ops.fused_stem import TILE_P
+
+        return (FUSE_STEM and self.quant == "folded"
+                and x.shape[1] % (4 * TILE_P) == 0 and x.shape[2] % 4 == 0)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self._fuse_eligible(x):
+            from smap_tpu.ops.fused_stem import (double_space_to_depth,
+                                                 fused_stem)
+
+            kernel, bias = _FoldedBlockParams(
+                64, (7, 7), name="conv")(x.shape[-1])
+            y = fused_stem(double_space_to_depth(x.astype(self.dtype)),
+                           kernel.astype(self.dtype), bias,
+                           interpret=jax.default_backend() == "cpu")
+            return y.astype(self.dtype)
         x = ConvBnRelu(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                        quant=self.quant, dtype=self.dtype,
                        name="conv")(x, train)
