@@ -110,6 +110,8 @@ def main():
     dyn = SMAP(dataclasses.replace(cfg.model, quantized=True))
     sta = SMAP(dataclasses.replace(cfg.model, quantized="static"))
     results = {
+        "bf16": measure(f"bf16 b{BATCH} x{N}", infer_chain(model),
+                        variables, streams, FWD_TFLOP * N),
         "dynamic": measure(f"int8 dynamic b{BATCH} x{N}", infer_chain(dyn),
                            qvars, streams, FWD_TFLOP * N),
         "static": measure(f"int8 static b{BATCH} x{N}", infer_chain(sta),
