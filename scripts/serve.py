@@ -140,10 +140,11 @@ def main() -> None:
                              "(up to one batch of frames)")
     parser.add_argument("--folded", action="store_true",
                         help="full-precision bf16 serving with BatchNorm "
-                             "folded into the conv weights and the "
-                             "HBM-bound layer1 bottlenecks fused into "
-                             "single Pallas kernels (smap_tpu/ops/"
-                             "fused_block.py); no quantization loss")
+                             "folded into the conv weights; no quantization "
+                             "loss. (The fused Pallas bottleneck kernel "
+                             "measured BELOW XLA's lowering and defaults "
+                             "off — SMAP_TPU_FUSE_BOTTLENECK=1 re-enables "
+                             "for A/B; docs/perf_notes.md round-4)")
     parser.add_argument("--out", default="-",
                         help="output JSONL path ('-' = stdout)")
     args = parser.parse_args()

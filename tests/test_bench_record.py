@@ -88,6 +88,38 @@ def test_train_bench_record_schema():
     assert 5.0 < bench_train.MIN_MS_PER_IMG < 6.5
 
 
+def test_sparsify_variables_zeroes_only_2d_head_scales():
+    """The sparse-scene setup must zero EXACTLY the 2D-head output BN
+    scales: zeroing depth-head scales too would blind the replay
+    detector's forward-content probe (all maps identically zero for any
+    input), and missing any 2D head would leave the synthetic crowd on
+    the 127 rung (perf_notes 'Round-4 headline bench')."""
+    ones = np.ones((4,), np.float32)
+    variables = {"params": {
+        "stage2": {
+            "up": {
+                "up3": {
+                    "res_conv2": {"bn": {"scale": ones, "bias": ones},
+                                  "conv": {"kernel": ones}},
+                    "res_d_conv2": {"bn": {"scale": ones}},
+                    "res_rd_conv2": {"bn": {"scale": ones}},
+                    "res_conv1": {"bn": {"scale": ones}},
+                },
+            },
+        },
+    }}
+    out = bench.sparsify_variables(variables)
+    unit = out["params"]["stage2"]["up"]["up3"]
+    assert np.all(unit["res_conv2"]["bn"]["scale"] == 0.0)
+    # Everything else — depth-head scales, the 2D head's own bias/kernel,
+    # the head's first conv — is untouched.
+    assert np.all(unit["res_conv2"]["bn"]["bias"] == 1.0)
+    assert np.all(unit["res_conv2"]["conv"]["kernel"] == 1.0)
+    assert np.all(unit["res_d_conv2"]["bn"]["scale"] == 1.0)
+    assert np.all(unit["res_rd_conv2"]["bn"]["scale"] == 1.0)
+    assert np.all(unit["res_conv1"]["bn"]["scale"] == 1.0)
+
+
 def test_bench_modules_reimport_without_device_work():
     # bench.py re-execs itself for grant re-rolls and reloads all modules
     # from disk; importing the bench modules must stay device-free (jax is
