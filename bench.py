@@ -477,12 +477,35 @@ def main() -> None:
 
     # Grant-quality gate on the *full* pipeline: the small-probe calibration
     # misses grants that only penalize long programs.
-    probe_rate = measure_pipelined(PROBE_ITERS)
-    if probe_rate > REPLAY_SUSPECT_IMGS_PER_SEC:
-        print(f"# draw {probe_rate:.0f} img/s exceeds the physical ceiling "
-              f"-> relay replay state, not execution; discarding",
-              file=sys.stderr, flush=True)
-        probe_rate = 0.0
+    def probe_once() -> float:
+        r = measure_pipelined(PROBE_ITERS)
+        if r > REPLAY_SUSPECT_IMGS_PER_SEC:
+            print(f"# draw {r:.0f} img/s exceeds the physical ceiling "
+                  f"-> relay replay state, not execution; discarding",
+                  file=sys.stderr, flush=True)
+            return 0.0
+        return r
+
+    probe_rate = probe_once()
+    # Execution tenancy oscillates WITHIN a grant (perf_notes round-1:
+    # identical programs swing ~60 <-> ~0.03 TFLOPS over time), and a
+    # re-exec'd grant re-roll costs a fresh 3-7 min model compile while a
+    # second probe on the grant already compiled costs seconds. Resample
+    # this grant (short pause, re-salted inputs so no (program, input)
+    # pair repeats) before burning a re-exec on a possibly transient dip.
+    for _ in range(2):
+        if (jax.default_backend() == "cpu"
+                or probe_rate >= REROLL_IMGS_PER_SEC):
+            break
+        time.sleep(15)
+        for s in streams:
+            s += np.uint8(1)
+        r = probe_once()
+        if r > probe_rate:
+            print(f"# intra-grant re-probe improved {probe_rate:.1f} -> "
+                  f"{r:.1f} img/s (tenancy oscillation)", file=sys.stderr,
+                  flush=True)
+        probe_rate = max(probe_rate, r)
     if (jax.default_backend() != "cpu"
             and probe_rate < REROLL_IMGS_PER_SEC
             and full_tries < MAX_FULL_TRIES
