@@ -216,6 +216,65 @@ def _link_rate_mbps() -> float:
     return float(np.median(rates))
 
 
+def classify_window():
+    """Work-scaling classification of the CURRENT grant window: time a
+    jitted conv chain at two scan lengths and decompose the affine model
+    t(n) = fixed + n * unit. Healthy grants show a small fixed term
+    (per-dispatch floor, 8-30 ms) and a marginal rate far above the
+    degraded regimes; penalized grants show either a multi-second fixed
+    per-execution cost or a collapsed marginal rate (docs/perf_notes.md:
+    fixed ~3 s + marginal ~146 TFLOPS on penalized grants; ~0.03 TFLOPS
+    regimes). Differencing two chain lengths of the same body cancels the
+    dispatch floor out of the marginal term, so the two failure modes are
+    separable (VERDICT r4 item 8).
+
+    Returns (label, fixed_ms, marginal_tflops) where label is
+    "healthy" | "penalized".
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(1)
+    w = jax.random.normal(key, (3, 3, 128, 128), jnp.bfloat16) * 0.02
+    x = jax.random.normal(key, (8, 64, 104, 128), jnp.bfloat16)
+    # FLOPs of one chain unit: 2 * B*H*W*Cout * Cin*3*3.
+    unit_tflop = 2 * 8 * 64 * 104 * 128 * 128 * 9 / 1e12
+
+    def make_chain(n):
+        @jax.jit
+        def chain(x, s):
+            def body(c, _):
+                y = jax.lax.conv_general_dilated(
+                    c, w, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return jnp.maximum(y, 0), ()
+            y, _ = jax.lax.scan(body, x + s, None, length=n)
+            return jnp.sum(y)
+        return chain
+
+    short, long_ = make_chain(4), make_chain(36)
+    float(short(x, 0.0))   # compile
+    float(long_(x, 0.0))
+
+    def best_of(fn, reps=3):
+        best = float("inf")
+        for i in range(reps):
+            # Distinct salt per call: the relay short-circuits repeated
+            # identical (program, input) pairs.
+            t0 = time.perf_counter()
+            float(fn(x, float(i + 1) * 1e-3))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short, t_long = best_of(short), best_of(long_)
+    unit_s = max((t_long - t_short) / 32.0, 1e-9)
+    fixed_s = max(t_short - 4.0 * unit_s, 0.0)
+    marginal_tflops = unit_tflop / unit_s
+    label = ("healthy" if fixed_s < 0.2 and marginal_tflops > 5.0
+             else "penalized")
+    return label, fixed_s * 1e3, marginal_tflops
+
+
 def _reexec_next_try(tries: int) -> None:
     import os
     import sys
@@ -493,9 +552,22 @@ def main() -> None:
     # second probe on the grant already compiled costs seconds. Resample
     # this grant (short pause, re-salted inputs so no (program, input)
     # pair repeats) before burning a re-exec on a possibly transient dip.
+    # Only worth the probes while a re-roll decision actually hinges on the
+    # result (tries and wall-clock budget both left); and stash the probe
+    # as an interim record first so a SIGALRM during a degraded grant's
+    # slow resample still emits a real rate instead of 0.0.
+    if jax.default_backend() != "cpu" and probe_rate > 0:
+        interim = _make_record(probe_rate, [0.0], [0.0], calibration_s,
+                               PROBE_ITERS, extra=_extra())
+        if best_prev is None or interim["value"] > best_prev["value"]:
+            os.environ["SMAP_BENCH_BEST"] = json.dumps(interim)
+    reroll_reachable = (full_tries < MAX_FULL_TRIES
+                        and _elapsed() < TOTAL_BUDGET_S - FULL_TRY_COST_S)
     for _ in range(2):
         if (jax.default_backend() == "cpu"
-                or probe_rate >= REROLL_IMGS_PER_SEC):
+                or probe_rate >= REROLL_IMGS_PER_SEC
+                or not reroll_reachable
+                or _elapsed() > TOTAL_BUDGET_S - FULL_TRY_COST_S):
             break
         time.sleep(15)
         for s in streams:
@@ -576,9 +648,195 @@ def main() -> None:
     # observed across tries rather than the last one.
     if best_prev is not None and best_prev["value"] > record["value"]:
         record = best_prev
+
+    # ------------------------------------------------------------------
+    # Post-headline instrumentation, all measured on the FINAL grant (the
+    # one that ran the windows above; a best_prev record carried over from
+    # an earlier re-exec keeps its own headline but gets this grant's
+    # instrumentation fields — each is independently replay-guarded).
+    # ------------------------------------------------------------------
+
+    def measure_device_pipeline(iters: int = 12):
+        """Back-to-back fwd+post on DEVICE-RESIDENT distinct inputs —
+        the device pipeline rate with the host->device link excluded
+        (VERDICT r4 item 3). Replay-guarded by content (distinct inputs,
+        forward-content disambiguation for the sparse-scene decode
+        collapse) and by the forward-at-chip-peak physics ceiling."""
+        if fused:
+            return 0.0, 0.0
+        placed = []
+        for i in range(4):
+            x, info = engine._place(streams[i % N_STREAMS], scales)
+            placed.append((jax.block_until_ready(x), info))
+        cap = engine._spec_cap if ladder else cfg.post.assoc_peaks
+        post = engine._post_program(cap, donate=False)
+        t0 = time.perf_counter()
+        results = []
+        for i in range(iters):
+            x, info = placed[i % len(placed)]
+            maps = engine._jit_forward(engine.variables, x)
+            results.append(post(engine.refine_variables, *maps, info))
+        jax.block_until_ready(results)
+        dt = time.perf_counter() - t0
+        rate = iters * BATCH / dt
+        ceiling = BATCH / (FORWARD_TFLOP_PER_BATCH / _PEAK_TFLOPS)
+        if rate > ceiling:
+            print(f"# device pipeline {rate:.0f} img/s exceeds the "
+                  f"forward-at-peak ceiling {ceiling:.0f} -> replay state, "
+                  f"discarded", file=sys.stderr, flush=True)
+            return 0.0, 0.0
+        sums = [float(jnp.sum(jnp.abs(r.bodies_2d))) + float(jnp.sum(r.count))
+                for r in results]
+        if len(set(sums)) == 1 and not forward_content_differs():
+            print("# device pipeline returned IDENTICAL results for "
+                  "distinct inputs -> replay state, discarded",
+                  file=sys.stderr, flush=True)
+            return 0.0, 0.0
+        return rate, dt * 1e3 / iters
+
+    def raw_device_put_ms():
+        """Median host->device time for one I420 batch as a RAW device_put
+        of a distinct buffer — the (a) leg of the transfer reconciliation
+        (VERDICT r4 item 2); transfer_ms above is the (b) engine._place
+        leg, steady_batch_ms the (c) overlapped run_stream leg."""
+        rng2 = np.random.RandomState(123)
+        times = []
+        for _ in range(3):
+            buf = rng2.randint(0, 256, streams[0].shape, dtype=np.uint8)
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(buf))
+            times.append((time.perf_counter() - t0) * 1e3)
+        return float(np.median(times))
+
+    if (jax.default_backend() != "cpu"
+            and _elapsed() < TOTAL_BUDGET_S - 150):
+        try:
+            dp_rate, dp_ms = measure_device_pipeline()
+        except Exception as exc:
+            print(f"# device-pipeline probe raised {type(exc).__name__}",
+                  file=sys.stderr, flush=True)
+            dp_rate, dp_ms = 0.0, 0.0
+        record["device_pipeline_imgs_per_sec"] = round(dp_rate, 2)
+        record["device_pipeline_batch_ms"] = round(dp_ms, 1)
+        try:
+            record["transfer_raw_ms"] = round(raw_device_put_ms(), 1)
+        except Exception:
+            record["transfer_raw_ms"] = 0.0
+        # (c) the overlapped steady-state per-batch period of the headline
+        # window itself.
+        record["steady_batch_ms"] = (
+            round(BATCH / record["value"] * 1e3, 1) if record["value"]
+            else 0.0)
+        try:
+            label, fixed_ms, marg_tflops = classify_window()
+            record["window"] = label
+            record["window_fixed_ms"] = round(fixed_ms, 1)
+            record["window_marginal_tflops"] = round(marg_tflops, 1)
+        except Exception as exc:
+            print(f"# window classifier raised {type(exc).__name__}",
+                  file=sys.stderr, flush=True)
+        os.environ["SMAP_BENCH_BEST"] = json.dumps(record)
+
+    # int8-static side record (VERDICT r4 item 4): the production serving
+    # pick, driver-recorded next to the bf16 headline. Costs one forward
+    # compile (the post-program ladder and count program are shared with
+    # the bf16 engine — identical programs, warmed caches), so it only
+    # runs with budget headroom. Skipped when the whole bench already runs
+    # int8 (SMAP_BENCH_QUANT=static).
+    if (jax.default_backend() != "cpu" and BENCH_QUANT != "static"
+            and not fused
+            and int(os.environ.get("SMAP_BENCH_INT8_SIDE", "1"))
+            and _elapsed() < TOTAL_BUDGET_S - 480):
+        try:
+            record["int8_static"] = _int8_side_record(
+                variables, cfg, engine, streams, scales, ladder)
+            os.environ["SMAP_BENCH_BEST"] = json.dumps(record)
+        except Exception as exc:
+            import traceback
+
+            traceback.print_exc()
+            print(f"# int8 side record raised {type(exc).__name__}; "
+                  f"keeping bf16-only record", file=sys.stderr, flush=True)
+
     # Stage-split medians ride along so round-over-round regressions stay
     # attributable through the grant-pool throughput lottery.
     print(json.dumps(record))
+
+
+def _int8_side_record(variables, cfg, bf16_engine, streams, scales, ladder):
+    """Measure the int8-static serving forward on the current grant:
+    pipelined e2e window + device-resident forward timing, sharing the
+    bf16 engine's post/count programs (identical; avoids recompiles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.inference import SMAPInference
+
+    caps = (8, 16, 40) if ladder else None
+    engine = SMAPInference(variables, cfg, adaptive_capacities=caps,
+                           quantized="static",
+                           calibration_batches=[streams[0]])
+    # The post ladder + count programs are identical to the bf16 engine's
+    # (same post cfg, no refine vars) — share the compiled caches so the
+    # side record pays only the int8 forward compile.
+    engine._post_cache = bf16_engine._post_cache
+    if ladder:
+        engine._jit_counts = bf16_engine._jit_counts
+        engine._spec_cap = bf16_engine._spec_cap
+
+    # Warm: compile the int8 forward outside the timed window.
+    x0, _ = engine._place(streams[-1], scales)
+    jax.block_until_ready(engine._jit_forward(engine.variables, x0))
+
+    iters = 12
+    t0 = time.perf_counter()
+    if ladder:
+        feed = ((streams[i % N_STREAMS], scales) for i in range(iters))
+        results = list(engine.run_stream(feed))
+    else:
+        results = [engine.run_batch(streams[i % N_STREAMS], scales)
+                   for i in range(iters)]
+    jax.block_until_ready(results)
+    rate = iters * BATCH / (time.perf_counter() - t0)
+    int8_peak = V5E_PEAK_TFLOPS * 2.0
+    sums = [float(jnp.sum(jnp.abs(r.bodies_2d))) + float(jnp.sum(r.count))
+            for r in results]
+    if rate > BATCH / max(FORWARD_TFLOP_PER_BATCH / int8_peak,
+                          I420_BYTES_PER_BATCH / MAX_LINK_BYTES_PER_SEC):
+        return {"note": "window exceeded physics ceiling (replay), discarded"}
+    if len(set(sums)) == 1:
+        vals = []
+        for s in (streams[0], streams[1]):
+            imgs, _ = engine._place(s, scales)
+            maps = engine._jit_forward(engine.variables, imgs)
+            vals.append(sum(float(jnp.sum(jnp.abs(m.astype(jnp.float32))))
+                            for m in maps))
+        if vals[0] == vals[1]:
+            return {"note": "identical outputs for distinct inputs "
+                            "(replay), discarded"}
+
+    # Per-call forward attribution (device-resident input, median of 3).
+    fwd_ms = []
+    for i in range(3):
+        x, _ = engine._place(streams[i], scales)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        jax.block_until_ready(engine._jit_forward(engine.variables, x))
+        fwd_ms.append((time.perf_counter() - t0) * 1e3)
+    med_fwd = float(np.median(fwd_ms))
+    min_int8_ms = FORWARD_TFLOP_PER_BATCH / int8_peak * 1e3
+    if 0.0 < med_fwd < min_int8_ms:
+        return {"note": "forward under int8 physics floor (replay), "
+                        "discarded"}
+    tflops = FORWARD_TFLOP_PER_BATCH / (med_fwd / 1e3) if med_fwd else 0.0
+    return {
+        "e2e_imgs_per_sec": round(rate, 2),
+        "model_ms": round(med_fwd, 1),
+        "model_tflops_effective": round(tflops, 1),
+        "model_mfu_int8peak": round(tflops / int8_peak, 3),
+        "rung": engine._spec_cap if ladder else None,
+        "attribution": "per-call sync (floor-inclusive)",
+    }
 
 
 def _make_record(imgs_per_sec, model_ms, post_ms, calibration_s, iters,

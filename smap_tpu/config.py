@@ -106,6 +106,13 @@ class ModelConfig:
 
     stage_num: int = 3
     upsample_channels: int = 256
+    # Base width of the ResNet-50 trunk: per-level bottleneck planes are
+    # (w, 2w, 4w, 8w) and the stem / cross-stage conv emit w channels.
+    # 64 = the reference's ResNet-50 (model/smap.py:95-154); smaller
+    # values keep the full topology (all blocks, all collectives) at a
+    # fraction of the FLOPs — used by the multi-chip dry run and fast
+    # tests, never by the flagship.
+    trunk_width: int = 64
     num_joints: int = NUM_JOINTS
     num_limbs: int = NUM_LIMBS
     output_shape: Tuple[int, int] = OUTPUT_SHAPE

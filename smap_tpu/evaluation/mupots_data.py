@@ -18,9 +18,37 @@ import numpy as np
 from smap_tpu.evaluation.mupots import FrameAnnotation
 
 
-def _cell_struct(arr, field: str):
-    """Access a field of a scipy.io matlab struct (squeeze_me=False)."""
-    return arr[field].item() if arr[field].shape == (1, 1) else arr[field]
+def _struct_record(cell):
+    """Normalize one MATLAB cell entry to a numpy struct record.
+
+    scipy.io.loadmat's shape for a cell-of-structs depends on how the file
+    was written and loaded: the canonical MuPoTS layout is an object cell
+    whose entries are 1x1 struct arrays (``cell[0, 0]`` is the record),
+    but squeeze_me=True round-trips, savemat-written fixtures and
+    cell-of-cell nesting all squeeze or wrap differently. Unwrap object
+    nesting and leading singleton dims until the record itself surfaces.
+    """
+    rec = np.asarray(cell)
+    while rec.dtype == object:
+        if rec.size < 1:
+            raise ValueError("empty MATLAB cell where a struct was expected")
+        rec = np.asarray(rec.reshape(-1)[0])
+    if rec.dtype.names is None:
+        raise ValueError(
+            f"MATLAB cell entry is not a struct (dtype {rec.dtype})")
+    if rec.ndim:
+        rec = rec.reshape(-1)[0]
+    return rec
+
+
+def _dense(value) -> np.ndarray:
+    """Unwrap object-array nesting around a numeric MATLAB field."""
+    a = np.asarray(value)
+    while a.dtype == object:
+        if a.size < 1:
+            return np.zeros((0,))
+        a = np.asarray(a.reshape(-1)[0])
+    return a
 
 
 def load_sequence(seq_dir: str) -> List[FrameAnnotation]:
@@ -30,21 +58,21 @@ def load_sequence(seq_dir: str) -> List[FrameAnnotation]:
     annot = sio.loadmat(os.path.join(seq_dir, "annot.mat"))["annotations"]
     occl = sio.loadmat(os.path.join(seq_dir, "occlusion.mat"))[
         "occlusion_labels"]
+    annot = np.atleast_2d(np.asarray(annot))
+    occl = np.atleast_2d(np.asarray(occl))
     num_frames, num_subjects = annot.shape
     frames = []
     for i in range(num_frames):
         a2, a3, oc = [], [], []
         for k in range(num_subjects):
-            cell = annot[i, k]
-            entry = cell[0, 0] if cell.dtype.names is None else cell
-            # scipy returns a 1x1 struct array per cell.
-            rec = cell[0, 0]
-            valid = int(np.squeeze(rec["isValidFrame"]))
+            rec = _struct_record(annot[i, k])
+            valid = int(np.squeeze(_dense(rec["isValidFrame"])))
             if not valid:
                 continue
-            a2.append(np.asarray(rec["annot2"], float)[:, :15])
-            a3.append(np.asarray(rec["univ_annot3"], float)[:, :15])
-            oc.append(np.asarray(occl[i, k], float).reshape(-1)[:15])
+            a2.append(np.asarray(_dense(rec["annot2"]), float)[:, :15])
+            a3.append(np.asarray(_dense(rec["univ_annot3"]), float)[:, :15])
+            oc.append(np.asarray(_dense(occl[i, k]),
+                                 float).reshape(-1)[:15])
         frames.append(FrameAnnotation(annot2=a2, univ_annot3=a3,
                                       occlusion=oc))
     return frames

@@ -60,11 +60,12 @@ class ResNetTop(nn.Module):
 
     quant: Any = False   # False | True (dynamic int8) | "static" | "folded"
     dtype: Dtype = jnp.float32
+    width: int = 64
 
     def _fuse_eligible(self, x: jnp.ndarray) -> bool:
         from smap_tpu.ops.fused_stem import TILE_P
 
-        return (FUSE_STEM and self.quant == "folded"
+        return (FUSE_STEM and self.quant == "folded" and self.width == 64
                 and x.shape[1] % (4 * TILE_P) == 0 and x.shape[2] % 4 == 0)
 
     @nn.compact
@@ -79,7 +80,8 @@ class ResNetTop(nn.Module):
                            kernel.astype(self.dtype), bias,
                            interpret=jax.default_backend() == "cpu")
             return y.astype(self.dtype)
-        x = ConvBnRelu(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+        x = ConvBnRelu(self.width, (7, 7), strides=(2, 2),
+                       padding=[(3, 3), (3, 3)],
                        quant=self.quant, dtype=self.dtype,
                        name="conv")(x, train)
         return max_pool_3x3_s2(x)
@@ -91,6 +93,7 @@ class DownsampleModule(nn.Module):
     has_skip: bool = False
     quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
+    width: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -98,8 +101,9 @@ class DownsampleModule(nn.Module):
                  skip2: Optional[List[jnp.ndarray]],
                  train: bool = False) -> Tuple[jnp.ndarray, ...]:
         feats = []
-        in_planes = 64
-        for li, (planes, blocks) in enumerate(zip(DOWNSAMPLE_PLANES,
+        in_planes = self.width
+        planes_per_level = tuple(self.width << i for i in range(4))
+        for li, (planes, blocks) in enumerate(zip(planes_per_level,
                                                   RESNET50_LAYERS)):
             stride = 1 if li == 0 else 2
             for bi in range(blocks):
@@ -139,6 +143,7 @@ class UpsampleUnit(nn.Module):
     heads: Tuple[bool, bool, bool] = (True, True, True)
     quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
+    cross_channels: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, up_x: Optional[jnp.ndarray],
@@ -179,8 +184,8 @@ class UpsampleUnit(nn.Module):
 
         cross_conv = None
         if self.ind == 3 and self.gen_cross_conv:
-            cross_conv = ConvBnRelu(64, (1, 1), quant=self.quant,
-                                    dtype=self.dtype,
+            cross_conv = ConvBnRelu(self.cross_channels, (1, 1),
+                                    quant=self.quant, dtype=self.dtype,
                                     name="cross_conv")(out, train)
         return out, res, res_d, res_rd, skip1, skip2, cross_conv
 
@@ -204,6 +209,7 @@ class UpsampleModule(nn.Module):
     head_spec: Tuple[Tuple[bool, bool, bool], ...] = ALL_HEADS
     quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
+    cross_channels: int = 64
 
     @nn.compact
     def __call__(self, x4, x3, x2, x1, train: bool = False):
@@ -220,7 +226,8 @@ class UpsampleModule(nn.Module):
                 depth_channels=self.depth_channels, chl_num=self.chl_num,
                 gen_skip=self.gen_skip, gen_cross_conv=self.gen_cross_conv,
                 heads=self.head_spec[i], quant=self.quant,
-                dtype=self.dtype, name=f"up{i + 1}")
+                dtype=self.dtype, cross_channels=self.cross_channels,
+                name=f"up{i + 1}")
             out, r, rd, rrd, s1, s2, cc = unit(inputs[i], out, train)
             res.append(r)
             res_d.append(rd)
@@ -249,19 +256,22 @@ class Stage(nn.Module):
     head_spec: Tuple[Tuple[bool, bool, bool], ...] = ALL_HEADS
     quant: Any = False   # False | True (dynamic int8) | "static"
     dtype: Dtype = jnp.float32
+    trunk_width: int = 64
 
     @nn.compact
     def __call__(self, x, skip1, skip2, train: bool = False):
         x4, x3, x2, x1 = DownsampleModule(
             has_skip=self.has_skip, quant=self.quant, dtype=self.dtype,
-            name="downsample")(x, skip1, skip2, train)
+            width=self.trunk_width, name="downsample")(x, skip1, skip2,
+                                                       train)
         return UpsampleModule(
             output_shape=self.output_shape,
             kpt_paf_channels=self.kpt_paf_channels,
             depth_channels=self.depth_channels, chl_num=self.chl_num,
             gen_skip=self.gen_skip, gen_cross_conv=self.gen_cross_conv,
             head_spec=self.head_spec, quant=self.quant,
-            dtype=self.dtype, name="upsample")(x4, x3, x2, x1, train)
+            dtype=self.dtype, cross_channels=self.trunk_width,
+            name="upsample")(x4, x3, x2, x1, train)
 
 
 class SMAP(nn.Module):
@@ -293,7 +303,7 @@ class SMAP(nn.Module):
         dtype = self._dtype()
         x = imgs.astype(dtype)
         x = ResNetTop(quant=self.cfg.quantized, dtype=dtype,
-                      name="top")(x, train)
+                      width=self.cfg.trunk_width, name="top")(x, train)
         outputs = {"heatmap_2d": [], "det_d": [], "root_d": []}
         skip1 = skip2 = None
         stage_cls = Stage
@@ -317,7 +327,7 @@ class SMAP(nn.Module):
                 has_skip=i > 0, gen_skip=not last, gen_cross_conv=not last,
                 head_spec=(ALL_HEADS if head_specs is None
                            else head_specs[i]),
-                quant=self.cfg.quantized,
+                quant=self.cfg.quantized, trunk_width=self.cfg.trunk_width,
                 dtype=dtype, name=f"stage{i}")(x, skip1, skip2, train)
             outputs["heatmap_2d"].append([cast(r) for r in res])
             outputs["det_d"].append([cast(r) for r in res_d])

@@ -56,6 +56,67 @@ def test_load_sequence(tmp_path, rng):
             assert got2.shape == (2, 15)
 
 
+def test_load_sequence_dict_struct_layout(tmp_path, rng):
+    """savemat's OTHER struct emission path: cells holding plain dicts
+    (scipy converts dict -> MATLAB struct, loadmat returns 1x1 record
+    arrays whose fields come back wrapped differently than hand-built
+    record arrays). The loader must accept both (VERDICT r4 item 6)."""
+    import scipy.io as sio
+
+    from smap_tpu.evaluation.mupots_data import load_sequence
+
+    seq_dir = tmp_path / "TS2"
+    seq_dir.mkdir(parents=True)
+    num_frames, num_subjects = 2, 2
+    annotations = np.empty((num_frames, num_subjects), object)
+    occlusions = np.empty((num_frames, num_subjects), object)
+    want = {}
+    for i in range(num_frames):
+        for k in range(num_subjects):
+            valid = 0 if (i, k) == (1, 0) else 1
+            annot3 = rng.randn(3, 17) * 100
+            annot2 = rng.randn(2, 17) * 50
+            annotations[i, k] = {
+                "annot2": annot2, "univ_annot3": annot3,
+                "annot3": annot3, "isValidFrame": valid}
+            # occlusion as a [1, J] row vector (MATLAB default orientation)
+            occlusions[i, k] = (np.arange(17, dtype=float) % 2)[None, :]
+            want[(i, k)] = (valid, annot2, annot3)
+    sio.savemat(str(seq_dir / "annot.mat"), {"annotations": annotations})
+    sio.savemat(str(seq_dir / "occlusion.mat"),
+                {"occlusion_labels": occlusions})
+
+    frames = load_sequence(str(seq_dir))
+    assert len(frames) == num_frames
+    assert len(frames[0].annot2) == 2 and len(frames[1].annot2) == 1
+    np.testing.assert_allclose(frames[1].annot2[0], want[(1, 1)][1][:, :15])
+    np.testing.assert_allclose(frames[1].univ_annot3[0],
+                               want[(1, 1)][2][:, :15])
+    np.testing.assert_allclose(frames[0].occlusion[0],
+                               (np.arange(15) % 2).astype(float))
+
+
+def test_struct_record_accepts_squeezed_and_nested():
+    """Unit coverage of the layout normalizer: squeezed record scalars,
+    1x1 record arrays, and object-array (cell-of-cell) nesting must all
+    yield the same field access; non-structs are rejected loudly."""
+    from smap_tpu.evaluation.mupots_data import _dense, _struct_record
+
+    rec_arr = np.zeros((1, 1), dtype=[("annot2", object),
+                                      ("isValidFrame", object)])
+    rec_arr[0, 0]["annot2"] = np.ones((2, 17))
+    rec_arr[0, 0]["isValidFrame"] = np.array([[1]])
+    squeezed = rec_arr.reshape(-1)[0]          # np.void record scalar
+    nested = np.empty((1,), object)
+    nested[0] = rec_arr                        # cell-of-cell wrapping
+    for layout in (rec_arr, squeezed, nested):
+        rec = _struct_record(layout)
+        np.testing.assert_allclose(_dense(rec["annot2"]), np.ones((2, 17)))
+        assert int(np.squeeze(_dense(rec["isValidFrame"]))) == 1
+    with pytest.raises(ValueError):
+        _struct_record(np.zeros((2, 2)))
+
+
 def _perfect_pairs(poses, ts):
     """Result-JSON '3d_pairs' whose predictions reproject exactly onto the
     GT (mpi15 order, cm, 832x512 letterbox coords)."""
