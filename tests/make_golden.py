@@ -177,15 +177,73 @@ def decode_variant_scenes():
     return variants
 
 
+def decode_int8_static():
+    """int8-static serving pinned END TO END (VERDICT r4 item 4): the
+    exact serve.py --int8-static construction (BN fold + per-channel int8
+    weights + activation scales frozen from one calibration batch,
+    smap_tpu/models/quantize.py) driven through the full engine —
+    quantized forward -> post-processing -> back-projection — on a
+    deterministic seeded model + input. The companion full-precision
+    "folded" decode of the SAME weights/input rides alongside so the
+    corpus itself documents the int8-vs-fp decode delta.
+
+    Random-init weights make every heatmap pixel a local max (a synthetic
+    crowd, the bench's sparsity note inverted); the decode truncates at
+    the configured capacities — harsh and fully deterministic.
+
+    Returns {"int8_static": [record], "int8_folded_ref": [record]}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # The axon plugin pre-imports jax and pins 'axon,cpu' before env vars
+    # are read; re-apply the CPU pin through the config API (same landmine
+    # as _scene_inputs / tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+
+    from smap_tpu.config import Config, ModelConfig, PostProcessConfig
+    from smap_tpu.inference import SMAPInference
+    from smap_tpu.models.smap import SMAP
+
+    input_shape, out = (64, 96), (16, 24)
+    cfg = Config(model=ModelConfig(stage_num=3, output_shape=out,
+                                   compute_dtype="float32"),
+                 post=PostProcessConfig(max_peaks=31, assoc_peaks=8),
+                 input_shape=input_shape, output_shape=out)
+    model = SMAP(cfg.model)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, *input_shape, 3), jnp.float32))
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (1, *input_shape, 3), np.uint8)
+    scale = min(input_shape[1] / 640.0, input_shape[0] / 360.0)
+    scales = [{"scale": scale, "img_width": 640.0, "img_height": 360.0,
+               "f_x": 500.0, "f_y": 500.0, "cx": 320.0, "cy": 180.0}]
+
+    out = {}
+    for name, quant in (("int8_static", "static"),
+                        ("int8_folded_ref", "folded")):
+        engine = SMAPInference(
+            variables, cfg, quantized=quant,
+            calibration_batches=[img] if quant == "static" else None)
+        res = engine.run_batch(img, scales)
+        out[name] = [_record(5, 0, res)]
+    return out
+
+
 def main():
     records = decode_scenes()
     variants = decode_variant_scenes()
+    variants.update(decode_int8_static())
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     with open(GOLDEN_PATH, "w") as f:
         json.dump({"config": "f32, max_peaks=127, assoc_peaks=127, "
                              "512x832 net, stride 4; variants: rung8 "
                              "(assoc_peaks=8), flip_tta (merged maps), "
-                             "refine (seeded random RefineNet)",
+                             "refine (seeded random RefineNet), "
+                             "int8_static / int8_folded_ref (seeded "
+                             "64x96 model, engine-level quantized "
+                             "serving decode)",
                    "scenes": records,
                    "variants": variants}, f, indent=1)
     counts = [r["count"] for r in records]

