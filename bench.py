@@ -709,7 +709,7 @@ def main() -> None:
         return float(np.median(times))
 
     if (jax.default_backend() != "cpu"
-            and _elapsed() < TOTAL_BUDGET_S - 150):
+            and _elapsed() < TOTAL_BUDGET_S - 240):
         try:
             dp_rate, dp_ms = measure_device_pipeline()
         except Exception as exc:

@@ -63,17 +63,24 @@ def flop_of(jitted, *args):
         return 0.0
 
 
-def timed(fn, inputs, label, tflop):
-    """Median seconds over REPS calls on distinct inputs; content check."""
+def timed(fn, make_args, label, tflop, reps=REPS):
+    """Median seconds over ``reps`` calls on distinct per-call inputs.
+
+    Inputs are staged (and blocked) one call at a time — b=8 fwd+bwd
+    needs most of the 16 GB HBM, so holding several staged batches +
+    rendered label sets (~290 MB each) alongside it OOMs."""
     import jax
 
     outs, times = [], []
-    for x in inputs[:REPS]:
+    for i in range(reps):
+        args = make_args(i)
+        jax.block_until_ready(args)
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*x))
+        out = jax.block_until_ready(fn(*args))
         times.append(time.perf_counter() - t0)
         outs.append(float(np.sum(np.asarray(jax.tree.leaves(out)[0],
                                             np.float32))))
+        del args, out
     med = float(np.median(times))
     floor = tflop / PEAK_TFLOPS
     note = ""
@@ -83,7 +90,7 @@ def timed(fn, inputs, label, tflop):
         note += f" [REPLAY: under {floor*1e3:.0f} ms floor]"
     print(f"{label:>10}: {med*1e3:7.1f} ms  {tflop:6.2f} TFLOP  "
           f"{tflop/med:6.1f} TFLOPS  {tflop/med/PEAK_TFLOPS:5.1%} MFU"
-          f"{note}", flush=True)
+          f"  times={['%.0f' % (t*1e3) for t in times]}{note}", flush=True)
     return med
 
 
@@ -122,8 +129,6 @@ def main():
     print(f"init {time.perf_counter()-t0:.0f}s", flush=True)
 
     rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
-    batches = [shard_batch(make_batch(rng, cfg, B), mesh) for _ in range(4)]
-    jax.block_until_ready(batches)
 
     # --- section programs -------------------------------------------------
     render_fn = jax.jit(functools.partial(render_labels, cfg=cfg))
@@ -167,14 +172,19 @@ def main():
 
     adam_fn = jax.jit(adam_only)
 
-    # --- stage inputs ------------------------------------------------------
-    state = clone(state0)
-    t0 = time.perf_counter()
-    rendered = [jax.block_until_ready(render_fn(b)) for b in batches]
-    print(f"render compile+run {time.perf_counter()-t0:.0f}s", flush=True)
+    # --- host-side inputs (device staging happens per timed call) ----------
+    host_batches = [make_batch(rng, cfg, B) for _ in range(REPS + 1)]
+
+    def staged(i):
+        return shard_batch(host_batches[i], mesh)
+
+    def staged_rendered(i):
+        b = staged(i)
+        labels, rdepth = render_fn(b)
+        return b, labels, rdepth
 
     grads_like = jax.jit(
-        lambda s: jax.tree.map(lambda p: p * 1e-3, s.params))(state)
+        lambda s: jax.tree.map(lambda p: p * 1e-3, s.params))(state0)
     jax.block_until_ready(grads_like)
 
     # --- analytic FLOPs ----------------------------------------------------
@@ -187,8 +197,8 @@ def main():
     # FLOPs; 5.018/16 TFLOP/img at b16) + loss (elementwise, ~0), and
     # fwd+bwd ~= step - adam - render.
     t0 = time.perf_counter()
-    fl_render = flop_of(render_fn, batches[0])
-    fl_adam = flop_of(adam_fn, state, grads_like)
+    fl_render = flop_of(render_fn, staged(0))
+    fl_adam = flop_of(adam_fn, state0, grads_like)
     fl_step = 1.1164 * B
     fl_fwd = 5.018 / 16 / 0.85 * B
     fl_bwd = fl_step - fl_adam - fl_render
@@ -197,60 +207,48 @@ def main():
           f"{fl_fwd:.3f} (est) fwd+bwd {fl_bwd:.3f} (est) step "
           f"{fl_step:.3f} (exact/img) (b={B})", flush=True)
 
-    # --- warmup (compile) each section ------------------------------------
-    for label, fn, args in (
-            ("render", render_fn, (batches[0],)),
-            ("fwd", fwd_fn, (state, batches[0], *rendered[0])),
-            ("fwd+bwd", fwd_bwd_fn, (state, batches[0], *rendered[0])),
-            ("adam", adam_fn, (state, grads_like))):
+    def warm(label, fn, *args):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         print(f"# {label} compile+first {time.perf_counter()-t0:.0f}s",
               flush=True)
 
-    # --- timed sections -----------------------------------------------------
-    timed(render_fn, [(b,) for b in batches], "render", fl_render)
-    timed(fwd_fn, [(state, b, *r) for b, r in zip(batches, rendered)],
-          "fwd", fl_fwd)
-    timed(fwd_bwd_fn, [(state, b, *r) for b, r in zip(batches, rendered)],
-          "fwd+bwd", fl_bwd)
-    timed(adam_fn, [(state, grads_like)] * REPS, "adam", fl_adam)
+    # --- sections, one at a time (b=8 fwd+bwd fills most of HBM; free the
+    # previous section's executables + staged arrays between sections) ----
+    warm("render", render_fn, staged(REPS))
+    timed(render_fn, lambda i: (staged(i),), "render", fl_render)
 
-    # Full step LAST (donation may consume state on non-axon runtimes; on
-    # axon donation is gated off, so state survives). Use fresh states.
-    t0 = time.perf_counter()
-    s1, _ = step_fn(clone(state0), batches[0], *rendered[0])
-    jax.block_until_ready(s1)
-    print(f"# step compile+first {time.perf_counter()-t0:.0f}s", flush=True)
-    states = [clone(state0) for _ in range(REPS)]
-    jax.block_until_ready(states)
-    timed(step_fn, [(s, b, *r) for s, b, r in
-                    zip(states, batches, rendered)], "step", fl_step)
+    scale_tree = jax.jit(lambda g, s: jax.tree.map(lambda x: x * s, g))
+    warm("adam", adam_fn, state0, grads_like)
+    timed(adam_fn, lambda i: (state0, scale_tree(grads_like, 1.0 + i)),
+          "adam", fl_adam)
 
-    # Production accum step for reference.
+    warm("fwd", fwd_fn, state0, *staged_rendered(REPS))
+    timed(fwd_fn, lambda i: (state0, *staged_rendered(i)), "fwd", fl_fwd)
+
+    jax.clear_caches()   # drop the fwd executable before the bwd programs
+    warm("fwd+bwd", fwd_bwd_fn, state0, *staged_rendered(REPS))
+    timed(fwd_bwd_fn, lambda i: (state0, *staged_rendered(i)), "fwd+bwd",
+          fl_bwd)
+
+    jax.clear_caches()
+    # No donation in this probe's raw jit, so state0 survives every call.
+    warm("step", step_fn, state0, *staged_rendered(REPS))
+    timed(step_fn, lambda i: (state0, *staged_rendered(i)), "step", fl_step)
+
+    del grads_like
+    jax.clear_caches()
+    # Production accum step for reference (its own render is inside).
     accum = make_jitted_accum_step(cfg, mesh, tx, 2)
-    stacked = jax.tree.map(
-        lambda x: np.asarray(x).reshape(2, B, *x.shape[1:]),
-        jax.tree.map(lambda *xs: np.concatenate(xs),
-                     make_batch(rng, cfg, B), make_batch(rng, cfg, B)))
-    stacked = shard_batch(stacked, mesh, stacked=True)
-    t0 = time.perf_counter()
-    s2, losses = accum(clone(state0), stacked)
-    jax.block_until_ready(losses)
-    print(f"# accum2x8 compile+first {time.perf_counter()-t0:.0f}s",
-          flush=True)
-    states = [clone(state0) for _ in range(REPS)]
-    stackeds = []
-    for _ in range(REPS):
+
+    def staged_accum(i):
         st = jax.tree.map(
-            lambda x: np.asarray(x).reshape(2, B, *x.shape[1:]),
-            jax.tree.map(lambda *xs: np.concatenate(xs),
-                         make_batch(rng, cfg, B), make_batch(rng, cfg, B)))
-        stackeds.append(shard_batch(st, mesh, stacked=True))
-    jax.block_until_ready(stackeds)
-    timed(lambda s, b: accum(s, b),
-          [(s, b) for s, b in zip(states, stackeds)], "accum2x8",
-          fl_step * 2)
+            lambda a, b: np.stack([np.asarray(a), np.asarray(b)]),
+            host_batches[i], make_batch(rng, cfg, B))
+        return (shard_batch(st, mesh, stacked=True),)
+
+    warm("accum2x8", lambda b: accum(clone(state0), b), *staged_accum(REPS))
+    timed(lambda b: accum(state0, b), staged_accum, "accum2x8", fl_step * 2)
     print("DONE", flush=True)
 
 

@@ -228,6 +228,14 @@ class TrainConfig:
     # host augmentation with identical joint geometry but numerics-visible
     # pixel differences (single INTER_LINEAR resample).
     composed_warp: bool = False
+    # Run the optimizer update on one flattened parameter vector
+    # (optax.flatten): bit-identical Adam math (pinned by
+    # tests/test_train_step.py), and the opt_state shrinks from ~600
+    # leaves to 2 — the standalone per-leaf Adam program measured 184
+    # ms/call on this relay (arg-handle/launch-bound, not FLOPs;
+    # docs/perf_notes.md round-5). Changes the opt_state checkpoint
+    # layout, so checkpoints are not interchangeable across this flag.
+    flatten_opt: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,8 +31,21 @@ def make_schedule(cfg: TrainConfig, num_devices: int) -> optax.Schedule:
 
 def make_optimizer(cfg: TrainConfig, num_devices: int
                    ) -> optax.GradientTransformation:
-    return optax.chain(
+    tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.adam(make_schedule(cfg, num_devices),
                    b1=0.9, b2=0.999, eps=1e-8),
     )
+    if cfg.flatten_opt:
+        # Run the (elementwise) update on ONE flattened vector instead of
+        # ~300 per-leaf fusions. Adam + folded weight decay are purely
+        # elementwise, so the flattened math is BIT-identical
+        # (tests/test_train_step.py pins it). Measured: the standalone
+        # per-leaf Adam program costs 184 ms/call on this relay (the cost
+        # tracks the ~900 marshaled arg/result handles, not FLOPs), and
+        # flattening drops the opt_state to 2 leaves; the step-level win
+        # is grant-regime-dependent (docs/perf_notes.md round-5) but the
+        # flattened form is never slower. Changes the opt_state pytree
+        # layout, so checkpoints are not interchangeable across this flag.
+        tx = optax.flatten(tx)
+    return tx

@@ -301,6 +301,44 @@ def test_lr_schedule_matches_reference():
                                    err_msg=str(it))
 
 
+def test_flattened_optimizer_is_bit_identical():
+    """TrainConfig.flatten_opt runs the update on one flattened vector
+    (the standalone per-leaf Adam program measured 184 ms/call on the
+    target relay, docs/perf_notes.md round-5); Adam + folded weight decay
+    are purely elementwise, so the flattened math must be BIT-identical."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.config import TrainConfig
+    from smap_tpu.train.solver import make_optimizer
+
+    rng = np.random.RandomState(0)
+    params = {"a": {"kernel": jnp.asarray(rng.randn(7, 13), jnp.float32),
+                    "bias": jnp.asarray(rng.randn(13), jnp.float32)},
+              "bn": {"scale": jnp.asarray(rng.rand(13), jnp.float32)}}
+    cfg = TrainConfig()
+    tx_flat = make_optimizer(dataclasses.replace(cfg, flatten_opt=True), 1)
+    tx_tree = make_optimizer(dataclasses.replace(cfg, flatten_opt=False), 1)
+
+    def run(tx, n=3):
+        state = tx.init(params)
+        p = params
+        for i in range(n):
+            grads = jax.tree.map(
+                lambda x: jnp.asarray(
+                    np.random.RandomState(10 + i).randn(*x.shape),
+                    jnp.float32), p)
+            updates, state = tx.update(grads, state, p)
+            p = jax.tree.map(jnp.add, p, updates)
+        return p
+
+    pf, pt = run(tx_flat), run(tx_tree)
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_train_step_with_remat(rng):
     """Gradient checkpointing path compiles and produces finite losses."""
