@@ -37,8 +37,9 @@ from smap_tpu.models.layers import (Bottleneck, ConvBnRelu,
 Dtype = Any
 
 RESNET50_LAYERS = (3, 4, 6, 3)
-DOWNSAMPLE_PLANES = (64, 128, 256, 512)
-UPSAMPLE_IN_PLANES = (2048, 1024, 512, 256)
+# Per-level bottleneck planes are (w, 2w, 4w, 8w) for trunk width w;
+# the reference's ResNet-50 is w=64 -> (64, 128, 256, 512) with decoder
+# inputs (2048, 1024, 512, 256) (model/smap.py:95-154).
 
 # Fused Pallas stem (conv7x7/2 + bias + relu + maxpool3x3/2 in one HBM
 # pass, smap_tpu/ops/fused_stem.py) on the BN-folded serving path. The
