@@ -197,15 +197,19 @@ def _calibrate() -> float:
 
 
 def _link_rate_mbps() -> float:
-    """Median host->device rate for I420-batch-sized DISTINCT buffers.
+    """Median host->device rate for I420-batch-sized COLD buffers.
 
     No compile involved (plain ``device_put``), so this is a ~seconds
-    probe of the grant's link draw. Distinct contents per transfer — the
-    relay has been seen short-circuiting repeated identical payloads."""
+    probe of the grant's link draw. Payloads come from os.urandom, never
+    from a fixed seed: fixed-seed buffers are byte-identical across every
+    bench/probe run ever made, and round-5 measured a grant whose
+    fixed-seed probe read 659 MB/s while genuinely new content moved at
+    ~38 MB/s for the whole window (scripts/probes/_link_cold_warm_probe.py
+    vs _stream_dispatch_probe.py) — the gate must measure what a serving
+    stream pays for frames it has never seen."""
     import jax
 
-    rng = np.random.RandomState(17)
-    bufs = [rng.randint(0, 256, (I420_BYTES_PER_BATCH,), dtype=np.uint8)
+    bufs = [np.frombuffer(os.urandom(I420_BYTES_PER_BATCH), np.uint8)
             for _ in range(4)]
     jax.block_until_ready(jax.device_put(bufs[0]))  # warm the dispatch path
     rates = []
@@ -370,7 +374,11 @@ def main() -> None:
     # keeps the raw random-init maps (worst-case rung) for A/B.
     if int(os.environ.get("SMAP_BENCH_SPARSE", "1")):
         variables = jax.jit(sparsify_variables)(variables)
-    rng = np.random.RandomState(0)
+    # Seed from os.urandom: fixed-seed frames are byte-identical across
+    # every run ever made, and the relay treats repeated payloads
+    # differently from cold ones (round-5 link findings) — the measured
+    # stream must be content the runtime has never seen.
+    rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
     # Letterboxed planar I420 frames (the video wire format: H.264/JPEG
     # decoders natively emit YUV 4:2:0): chroma upsample + BT.601->BGR +
     # normalization all run on device inside the forward jit, so each
@@ -699,10 +707,11 @@ def main() -> None:
         of a distinct buffer — the (a) leg of the transfer reconciliation
         (VERDICT r4 item 2); transfer_ms above is the (b) engine._place
         leg, steady_batch_ms the (c) overlapped run_stream leg."""
-        rng2 = np.random.RandomState(123)
         times = []
         for _ in range(3):
-            buf = rng2.randint(0, 256, streams[0].shape, dtype=np.uint8)
+            buf = np.frombuffer(
+                os.urandom(int(np.prod(streams[0].shape))),
+                np.uint8).reshape(streams[0].shape)
             t0 = time.perf_counter()
             jax.block_until_ready(jax.device_put(buf))
             times.append((time.perf_counter() - t0) * 1e3)

@@ -231,10 +231,64 @@ class SMAPInference:
             return self._postprocess(refine_variables, out2d, out3d, outrd,
                                      scale, self.cfg.post)
 
-        if fused:
-            self._jit_fused = jax.jit(smap_inference_pipeline)
+        # Variables packing: the tree is 1608 leaves and the tunneled TPU
+        # runtime charges ~0.06 ms per argument/result handle per call
+        # (scripts/probes/_handle_count_probe.py), i.e. ~90 ms/call of
+        # pure marshaling on the forward — more than its compute. Pack the
+        # tree into one flat vector per dtype and unpack INSIDE the jit
+        # (static slices, fused by XLA, bit-identical maps). Multi-device
+        # serving keeps the replicated tree (packing would need sharding
+        # annotations, which are their own pathology on this runtime);
+        # SMAP_TPU_PACK_VARS=0 disables for A/B.
+        pack_on = (mesh is None
+                   and int(os.environ.get("SMAP_TPU_PACK_VARS", "1")))
+        if pack_on:
+            from smap_tpu.utils.pack import pack_tree
+
+            self._packed_vars, self._unpack_vars = pack_tree(variables)
         else:
-            self._jit_forward = jax.jit(smap_inference_forward)
+            self._packed_vars = self._unpack_vars = None
+
+        def _dispatch_on_packed(packed_fn, tree_fn):
+            """Route calls made with ``self.variables`` through the packed
+            program; any OTHER variables tree falls back to a lazily
+            compiled tree-argument program (no callers do today, but the
+            argument must keep meaning what it says)."""
+            cell = []
+
+            def dispatch(variables, *args):
+                if variables is self.variables:
+                    return packed_fn(self._packed_vars, *args)
+                if not cell:
+                    cell.append(jax.jit(tree_fn))
+                return cell[0](variables, *args)
+
+            return dispatch
+
+        if fused:
+            if pack_on:
+                def smap_inference_pipeline_packed(packed, refine_variables,
+                                                   images, scale):
+                    return smap_inference_pipeline(
+                        self._unpack_vars(packed), refine_variables, images,
+                        scale)
+
+                self._jit_fused = _dispatch_on_packed(
+                    jax.jit(smap_inference_pipeline_packed),
+                    smap_inference_pipeline)
+            else:
+                self._jit_fused = jax.jit(smap_inference_pipeline)
+        else:
+            if pack_on:
+                def smap_inference_forward_packed(packed, images):
+                    return smap_inference_forward(self._unpack_vars(packed),
+                                                  images)
+
+                self._jit_forward = _dispatch_on_packed(
+                    jax.jit(smap_inference_forward_packed),
+                    smap_inference_forward)
+            else:
+                self._jit_forward = jax.jit(smap_inference_forward)
             # The maps are one-shot intermediates: donate them so XLA can
             # reuse their buffers inside the post-processing program.
             self._jit_post = jax.jit(smap_inference_postprocess,

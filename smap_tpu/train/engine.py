@@ -23,8 +23,8 @@ import numpy as np
 from smap_tpu.config import Config
 from smap_tpu.parallel.mesh import make_mesh, shard_batch
 from smap_tpu.train.solver import make_optimizer
-from smap_tpu.train.step import (TrainBatch, TrainState, create_train_state,
-                                 make_jitted_train_step)
+from smap_tpu.train.step import (TrainBatch, TrainState, as_state_tree,
+                                 create_train_state, make_jitted_train_step)
 
 
 def get_logger(name: str = "smap_tpu", log_file: Optional[str] = None,
@@ -243,7 +243,10 @@ class Trainer:
                               for k, v in losses.items()),
                     eta_s // 3600, eta_s % 3600 // 60)
             if it % ckpt_period < n or it == max_iter:
-                self.ckpt.save(it, jax.device_get(state))
+                # Checkpoints always hold the TREE state (stable format;
+                # as_state_tree is the identity unless the step runs with
+                # the packed-state boundary, smap_tpu.train.step).
+                self.ckpt.save(it, jax.device_get(as_state_tree(state)))
                 self.logger.info("checkpoint saved at iteration %d", it)
             if it >= max_iter:
                 break
@@ -254,7 +257,7 @@ class Trainer:
             for b in window:
                 state, losses = run_one(state, b)
             self.metrics.write_scalars(it, jax.device_get(losses))
-            self.ckpt.save(it, jax.device_get(state))
+            self.ckpt.save(it, jax.device_get(as_state_tree(state)))
             self.logger.info("checkpoint saved at iteration %d (tail)", it)
         profiler.close()
-        return state
+        return as_state_tree(state)

@@ -116,6 +116,102 @@ def train_step_with_labels(state: TrainState, batch: TrainBatch, labels,
     return new_state, losses
 
 
+class PackedTrainState:
+    """TrainState held as per-dtype flat vectors between step calls.
+
+    The tunneled TPU runtime charges ~0.06 ms per program argument/result
+    handle per call (scripts/probes/_handle_count_probe.py); the
+    TrainState tree is ~1610 leaves, so round-tripping it through the
+    step program costs ~180 ms/step of pure marshaling. The packed form
+    crosses the boundary as ~4 vectors; the step program unpacks, steps,
+    and re-packs INSIDE the jit (static slices/concats, bit-identical
+    math — tests/test_train_step.py pins the trajectory). Convert back
+    with :func:`as_state_tree` (checkpointing does).
+    """
+
+    __slots__ = ("packed", "codec")
+
+    def __init__(self, packed, codec):
+        self.packed = packed
+        self.codec = codec
+
+
+def as_state_tree(state) -> TrainState:
+    """PackedTrainState -> TrainState (identity on a plain TrainState).
+
+    One jitted unpack call (pays the many-handle result marshal once —
+    used at checkpoint cadence, not per step)."""
+    if isinstance(state, PackedTrainState):
+        codec = state.codec
+        if not hasattr(codec, "_jit_unpack"):
+            codec._jit_unpack = jax.jit(codec)
+        return codec._jit_unpack(state.packed)
+    return state
+
+
+def _pack_state_enabled(mesh: Mesh) -> bool:
+    """Default: pack on 1-device tunneled (axon) runtimes, where the
+    per-handle cost was measured; plain semantics elsewhere (multi-device
+    shardings would need their own annotations, and process-dispatched
+    backends don't pay per-handle marshaling). SMAP_TPU_PACK_STATE=0/1
+    overrides."""
+    import os
+
+    from smap_tpu.parallel.mesh import is_axon_runtime
+
+    env = os.environ.get("SMAP_TPU_PACK_STATE", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return int(mesh.devices.size) == 1 and is_axon_runtime()
+
+
+def _make_state_packed_call(core, mesh: Mesh, step_kw):
+    """jit ``core(state, batch, labels, rdepth) -> (state, losses)`` with
+    the state boundary packed (when enabled for this runtime).
+
+    Accepts either a TrainState (packed on first use; the codec is cached
+    per tree structure) or the PackedTrainState a previous call returned,
+    and returns the state in kind (PackedTrainState under packing)."""
+    plain_fn = jax.jit(core, **step_kw)
+    if not _pack_state_enabled(mesh):
+        return plain_fn
+    cell = {}
+
+    def call(state, batch, labels, rdepth):
+        if isinstance(state, PackedTrainState):
+            packed, codec = state.packed, state.codec
+        else:
+            from smap_tpu.utils.pack import pack_tree
+
+            key = jax.tree.structure(state)
+            cached = cell.get("key")
+            # (explicit None guard: treedef.__ne__ rejects non-treedefs)
+            if cached is None or cached != key:
+                packed, codec = pack_tree(state)
+                cell.update(key=key, codec=codec, jit=None)
+            else:
+                codec = cell["codec"]
+                if not hasattr(codec, "_jit_pack"):
+                    codec._jit_pack = jax.jit(codec.pack)
+                packed = codec._jit_pack(state)
+        if cell.get("codec") is not codec:
+            cell.update(key=None, codec=codec, jit=None)
+        if cell.get("jit") is None:
+            unpack = codec
+
+            def packed_core(packed, batch, labels, rdepth):
+                new_state, losses = core(unpack(packed), batch, labels,
+                                         rdepth)
+                return unpack.pack(new_state), losses
+
+            cell["jit"] = jax.jit(packed_core, **step_kw)
+        new_packed, losses = cell["jit"](packed, batch, labels, rdepth)
+        return PackedTrainState(new_packed, codec), losses
+
+    call.plain_fn = plain_fn
+    return call
+
+
 def make_jitted_train_step(cfg: Config, mesh: Mesh,
                            tx: optax.GradientTransformation):
     """Production step: batch on the data axis, state replicated.
@@ -123,23 +219,25 @@ def make_jitted_train_step(cfg: Config, mesh: Mesh,
     TWO jitted programs composed at the call site — label rendering, then
     the fwd/bwd/optimizer step. Both dispatch asynchronously back-to-back,
     so the behavior and cost match one program EXCEPT for the runtime
-    pathology the split avoids (see render_labels' docstring).
+    pathology the split avoids (see render_labels' docstring). On
+    tunneled 1-device runtimes the state crosses the boundary packed
+    (see :class:`PackedTrainState`).
     """
     render_kw, step_kw = _sharding_kwargs(mesh, batch_sharding(mesh))
     render_fn = jax.jit(functools.partial(render_labels, cfg=cfg),
                         **render_kw)
-    step_fn = jax.jit(
+    call = _make_state_packed_call(
         functools.partial(train_step_with_labels, cfg=cfg, tx=tx),
-        **step_kw)
+        mesh, step_kw)
 
     def step(state: TrainState, batch: TrainBatch):
         labels, rdepth = render_fn(batch)
-        return step_fn(state, batch, labels, rdepth)
+        return call(state, batch, labels, rdepth)
 
     # Expose the underlying jitted programs (AOT lowering, cost analysis —
     # scripts/probes/_flops_probe.py).
     step.render_fn = render_fn
-    step.step_fn = step_fn
+    step.step_fn = getattr(call, "plain_fn", call)
     return step
 
 
@@ -233,7 +331,7 @@ def make_jitted_accum_step(cfg: Config, mesh: Mesh,
         # the one global batch).
         return new_state, jax.tree.map(lambda a: a.mean(0), losses)
 
-    accum_fn = jax.jit(accum_step, **step_kw)
+    accum_fn = _make_state_packed_call(accum_step, mesh, step_kw)
 
     def step(state: TrainState, batches: TrainBatch):
         labels, rdepth = render_fn(batches)
@@ -274,7 +372,7 @@ def make_jitted_multi_step(cfg: Config, mesh: Mesh,
         return jax.lax.scan(body, state, (batches, labels, rdepth),
                             length=n_steps)
 
-    multi_fn = jax.jit(multi_step, **step_kw)
+    multi_fn = _make_state_packed_call(multi_step, mesh, step_kw)
 
     def step(state: TrainState, batches: TrainBatch):
         labels, rdepth = render_fn(batches)

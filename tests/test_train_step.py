@@ -428,3 +428,56 @@ def test_train_step_descends_on_memorizable_batch(rng):
     # The depth L1 terms must have collapsed onto their ~0 targets.
     assert float(losses["loss_bone"]) < 0.1
     assert float(losses["loss_root"]) < 0.1
+
+
+def test_packed_state_trajectory_bit_identical(rng, monkeypatch):
+    """SMAP_TPU_PACK_STATE=1: the packed-state boundary (PackedTrainState,
+    per-dtype flat vectors across the host/device boundary — the
+    ~0.06 ms/handle relay finding, scripts/probes/_handle_count_probe.py)
+    must leave the training trajectory bit-identical, and as_state_tree
+    must rebuild the exact TrainState for checkpointing."""
+    import jax
+    import jax.numpy as jnp
+
+    from smap_tpu.models.smap import SMAP
+    from smap_tpu.parallel.mesh import make_mesh, shard_batch
+    from smap_tpu.train.solver import make_optimizer
+    from smap_tpu.train.step import (PackedTrainState, as_state_tree,
+                                     create_train_state,
+                                     make_jitted_train_step)
+
+    cfg = _tiny_cfg(input_shape=(32, 48))
+    mesh = make_mesh(jax.devices("cpu")[:1])
+    model = SMAP(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *cfg.input_shape, 3), jnp.float32))
+    tx = make_optimizer(cfg.train, 1)
+    batches = [_batch(rng, cfg, 2) for _ in range(2)]
+
+    trajs = {}
+    # Donation (the CPU default) would consume the shared `variables`
+    # buffers in the first arm; this test isolates packing.
+    monkeypatch.setenv("SMAP_TPU_DONATE", "0")
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SMAP_TPU_PACK_STATE", flag)
+        state = create_train_state(variables, cfg, 1)
+        step = make_jitted_train_step(cfg, mesh, tx)
+        all_losses = []
+        for b in batches:
+            state, losses = step(state, shard_batch(b, mesh))
+            all_losses.append(losses)
+        if flag == "1":
+            assert isinstance(state, PackedTrainState)
+        tree = as_state_tree(state)
+        assert int(tree.step) == 2
+        trajs[flag] = (tree, all_losses)
+
+    t0, l0 = trajs["0"]
+    t1, l1 = trajs["1"]
+    for a, b in zip(jax.tree.leaves(t0), jax.tree.leaves(t1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for la, lb in zip(l0, l1):
+        for k in la:
+            np.testing.assert_array_equal(np.asarray(la[k]),
+                                          np.asarray(lb[k]))
