@@ -257,8 +257,11 @@ def classify_window():
         return chain
 
     short, long_ = make_chain(4), make_chain(36)
-    float(short(x, 0.0))   # compile
-    float(long_(x, 0.0))
+    # Guarded: scan-conv compiles are an observed relay wedge shape
+    # (round-5); a hang here must not eat the caller's whole budget.
+    with _phase_timeout(240):
+        float(short(x, 0.0))   # compile
+        float(long_(x, 0.0))
 
     def best_of(fn, reps=3):
         best = float("inf")
@@ -289,6 +292,49 @@ def _reexec_next_try(tries: int) -> None:
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+class PhaseTimeout(Exception):
+    """A guarded device phase wedged (see _phase_timeout)."""
+
+
+class _phase_timeout:
+    """Bound one device phase with the (single) SIGALRM timer.
+
+    The relay intermittently WEDGES whole client calls — first device
+    contact or a fresh compile blocks forever with ~zero CPU (round-5:
+    five consecutive probe launches hung in _calibrate's scan-conv
+    compile while tiny fresh programs compiled fine). A hang is not an
+    exception, so try/except alone can't save the budget; this context
+    manager repoints SIGALRM at a raiser for the phase and re-arms the
+    global budget alarm afterwards (handler preserved). Main-thread only,
+    like all of bench. On timeout the caller treats the grant as
+    degraded and re-rolls — a fresh process usually lands a working
+    client.
+    """
+
+    def __init__(self, seconds: float):
+        self.seconds = max(5, int(seconds))
+
+    def __enter__(self):
+        import signal
+
+        def _raise(signum, frame):
+            raise PhaseTimeout()
+
+        self._prev_handler = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        import signal
+
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._prev_handler)
+        # Re-arm the global budget alarm if one was active before.
+        if self._prev_handler not in (signal.SIG_DFL, signal.SIG_IGN, None):
+            signal.alarm(max(30, int(TOTAL_BUDGET_S - _elapsed())))
+        return False
+
+
 def _maybe_reexec_for_healthy_grant() -> float:
     import os
     import sys
@@ -307,7 +353,11 @@ def _maybe_reexec_for_healthy_grant() -> float:
     if _elapsed() > TOTAL_BUDGET_S - FULL_TRY_COST_S:
         link_floor = 0.0
     try:
-        link = _link_rate_mbps()
+        # Guarded: the first device contact of a process intermittently
+        # wedges forever (round-5 relay phase); treat a 150 s hang like a
+        # broken grant and re-roll.
+        with _phase_timeout(150):
+            link = _link_rate_mbps()
     except Exception as exc:  # broken grant (e.g. FAILED_PRECONDITION)
         print(f"# link probe raised {type(exc).__name__}; treating as "
               f"degraded grant", file=sys.stderr, flush=True)
@@ -319,7 +369,11 @@ def _maybe_reexec_for_healthy_grant() -> float:
               flush=True)
         _reexec_next_try(tries)
     try:
-        t = _calibrate()
+        # Guarded: scan-conv compiles are one of the observed wedge
+        # shapes (_calibrate hung >5 min while fresh non-scan programs
+        # compiled in seconds).
+        with _phase_timeout(180):
+            t = _calibrate()
     except Exception as exc:
         print(f"# calibration raised {type(exc).__name__}; treating as "
               f"degraded grant", file=sys.stderr, flush=True)
@@ -463,23 +517,36 @@ def main() -> None:
     # pipelined loop moves only the image bytes.
     scales = jax.tree.map(jnp.asarray, engine._make_scale_info(scales))
 
-    if ladder:
-        # Warm-start the speculation so the SETTLED rung program is what
-        # compiles (the ladder's cold start speculates the top rung):
-        # forward one batch, count its peaks, set the rung, then push two
-        # batches through run_stream so the count + rung programs compile
-        # outside the timed windows.
-        x0, info0 = engine._place(streams[-1], scales)
-        maps0 = engine._jit_forward(engine.variables, x0)
-        n0 = int(engine._jit_counts(maps0[0]))
-        engine._spec_cap = engine._rung_for(n0)
-        print(f"# ladder: max peak count {n0} -> rung {engine._spec_cap}",
-              file=sys.stderr, flush=True)
-        list(engine.run_stream(iter([(streams[-2], scales),
-                                     (streams[-1], scales)])))
-    for _ in range(WARMUP):
-        res, _ = engine.run_batch_timed(streams[-1], scales)
-        jax.block_until_ready(res)
+    # Guarded compile/warm phase: the 3-7 min model compile is legitimate,
+    # but the relay intermittently wedges compiles forever (round-5); cap
+    # the phase and re-roll the grant rather than eating the whole budget.
+    try:
+        with _phase_timeout(min(900, TOTAL_BUDGET_S - _elapsed() - 120)):
+            if ladder:
+                # Warm-start the speculation so the SETTLED rung program
+                # is what compiles (the ladder's cold start speculates the
+                # top rung): forward one batch, count its peaks, set the
+                # rung, then push two batches through run_stream so the
+                # count + rung programs compile outside the timed windows.
+                x0, info0 = engine._place(streams[-1], scales)
+                maps0 = engine._jit_forward(engine.variables, x0)
+                n0 = int(engine._jit_counts(maps0[0]))
+                engine._spec_cap = engine._rung_for(n0)
+                print(f"# ladder: max peak count {n0} -> rung "
+                      f"{engine._spec_cap}", file=sys.stderr, flush=True)
+                list(engine.run_stream(iter([(streams[-2], scales),
+                                             (streams[-1], scales)])))
+            for _ in range(WARMUP):
+                res, _ = engine.run_batch_timed(streams[-1], scales)
+                jax.block_until_ready(res)
+    except PhaseTimeout:
+        tries = int(os.environ.get("SMAP_BENCH_TRY", "0"))
+        print(f"# compile/warm phase wedged; re-rolling grant "
+              f"(try {tries})", file=sys.stderr, flush=True)
+        if (tries < MAX_REEXECS
+                and _elapsed() < TOTAL_BUDGET_S - FULL_TRY_COST_S):
+            _reexec_next_try(tries)
+        _emit_best_and_exit(None, None)
 
     full_tries = int(os.environ.get("SMAP_BENCH_FULL_TRY", "0"))
     best_prev = json.loads(os.environ.get("SMAP_BENCH_BEST", "null"))
