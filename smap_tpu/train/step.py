@@ -120,13 +120,17 @@ class PackedTrainState:
     """TrainState held as per-dtype flat vectors between step calls.
 
     The tunneled TPU runtime charges ~0.06 ms per program argument/result
-    handle per call (scripts/probes/_handle_count_probe.py); the
-    TrainState tree is ~1610 leaves, so round-tripping it through the
-    step program costs ~180 ms/step of pure marshaling. The packed form
-    crosses the boundary as ~4 vectors; the step program unpacks, steps,
-    and re-packs INSIDE the jit (static slices/concats, bit-identical
-    math — tests/test_train_step.py pins the trajectory). Convert back
-    with :func:`as_state_tree` (checkpointing does).
+    handle on SYNCHRONOUS calls (scripts/probes/_handle_count_probe.py);
+    the TrainState tree is ~1610 leaves, so a block-per-step driver pays
+    ~180 ms/step of pure marshaling. The packed form crosses the boundary
+    as ~4 vectors; the step program unpacks, steps, and re-packs INSIDE
+    the jit (static slices/concats, bit-identical math —
+    tests/test_train_step.py pins the trajectory). Convert back with
+    :func:`as_state_tree` (checkpointing does).
+
+    Opt-in (SMAP_TPU_PACK_STATE=1), default off: the production Trainer
+    loop is asynchronous (handle cost doesn't apply), and the in-program
+    unpack/repack copies cost HBM headroom — see _pack_state_enabled.
     """
 
     __slots__ = ("packed", "codec")
@@ -150,19 +154,28 @@ def as_state_tree(state) -> TrainState:
 
 
 def _pack_state_enabled(mesh: Mesh) -> bool:
-    """Default: pack on 1-device tunneled (axon) runtimes, where the
-    per-handle cost was measured; plain semantics elsewhere (multi-device
-    shardings would need their own annotations, and process-dispatched
-    backends don't pay per-handle marshaling). SMAP_TPU_PACK_STATE=0/1
-    overrides."""
+    """Default OFF: opt in with SMAP_TPU_PACK_STATE=1 (1-device meshes
+    only; multi-device shardings would need their own annotations).
+
+    Packing pays off only on SYNCHRONOUS call boundaries (the tunneled
+    runtime's ~0.06 ms/handle marshaling, _handle_count_probe.py), and
+    the production Trainer loop is asynchronous — it blocks on losses at
+    log cadence and on state at checkpoint cadence, not per step, where
+    the handle cost was measured NOT to apply (_stream_dispatch_probe.py
+    device2 vs device2flat). Meanwhile the in-program unpack/repack holds
+    a second copy of the ~800 MB state live, which pushed every batch>=8
+    train row at 512x832 into RESOURCE_EXHAUSTED on v5e (bench_train
+    round-5) and made b=2 slightly SLOWER (pack/unpack HBM traffic with
+    no marshal to save). Block-per-step drivers are the one shape that
+    benefits (~180 ms/step); they can opt in."""
     import os
 
     from smap_tpu.parallel.mesh import is_axon_runtime
 
     env = os.environ.get("SMAP_TPU_PACK_STATE", "")
     if env in ("0", "1"):
-        return env == "1"
-    return int(mesh.devices.size) == 1 and is_axon_runtime()
+        return env == "1" and int(mesh.devices.size) == 1
+    return False
 
 
 def _make_state_packed_call(core, mesh: Mesh, step_kw):
@@ -219,9 +232,9 @@ def make_jitted_train_step(cfg: Config, mesh: Mesh,
     TWO jitted programs composed at the call site — label rendering, then
     the fwd/bwd/optimizer step. Both dispatch asynchronously back-to-back,
     so the behavior and cost match one program EXCEPT for the runtime
-    pathology the split avoids (see render_labels' docstring). On
-    tunneled 1-device runtimes the state crosses the boundary packed
-    (see :class:`PackedTrainState`).
+    pathology the split avoids (see render_labels' docstring). With
+    SMAP_TPU_PACK_STATE=1 the state crosses the boundary packed (see
+    :class:`PackedTrainState` — for block-per-step drivers only).
     """
     render_kw, step_kw = _sharding_kwargs(mesh, batch_sharding(mesh))
     render_fn = jax.jit(functools.partial(render_labels, cfg=cfg),
