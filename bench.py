@@ -71,6 +71,13 @@ TOTAL_BUDGET_S = float(os.environ.get("SMAP_BENCH_TOTAL_BUDGET_S", "2100"))
 # Don't START a fresh full-pipeline re-roll (costs a 3-7 min model
 # compile + warmup + windows) with less than this much budget left.
 FULL_TRY_COST_S = 700.0
+# While the int8-static side record hasn't been taken yet, stop re-rolling
+# this much EARLIER so the final try still has the side record's headroom
+# (its gate needs 480 s for the int8 forward compile + measurement).
+# Without the reservation a budget-bound campaign — the common case —
+# always reaches final assembly with <480 s left and the driver artifact
+# silently loses its int8 line (round-5 validation run).
+INT8_RESERVE_S = 480.0
 
 
 def _t0() -> float:
@@ -550,6 +557,14 @@ def main() -> None:
 
     full_tries = int(os.environ.get("SMAP_BENCH_FULL_TRY", "0"))
     best_prev = json.loads(os.environ.get("SMAP_BENCH_BEST", "null"))
+    # Budget edge past which no fresh full-pipeline re-roll starts: reserve
+    # the int8 side record's headroom while that record is still owed (see
+    # INT8_RESERVE_S).
+    int8_pending = (BENCH_QUANT != "static" and not fused
+                    and bool(int(os.environ.get("SMAP_BENCH_INT8_SIDE",
+                                                "1"))))
+    reroll_deadline = (TOTAL_BUDGET_S - FULL_TRY_COST_S
+                       - (INT8_RESERVE_S if int8_pending else 0.0))
 
     def forward_content_differs() -> bool:
         """Direct replay probe for the ambiguous all-identical case: run
@@ -637,12 +652,12 @@ def main() -> None:
         if best_prev is None or interim["value"] > best_prev["value"]:
             os.environ["SMAP_BENCH_BEST"] = json.dumps(interim)
     reroll_reachable = (full_tries < MAX_FULL_TRIES
-                        and _elapsed() < TOTAL_BUDGET_S - FULL_TRY_COST_S)
+                        and _elapsed() < reroll_deadline)
     for _ in range(2):
         if (jax.default_backend() == "cpu"
                 or probe_rate >= REROLL_IMGS_PER_SEC
                 or not reroll_reachable
-                or _elapsed() > TOTAL_BUDGET_S - FULL_TRY_COST_S):
+                or _elapsed() > reroll_deadline):
             break
         time.sleep(15)
         for s in streams:
@@ -656,7 +671,7 @@ def main() -> None:
     if (jax.default_backend() != "cpu"
             and probe_rate < REROLL_IMGS_PER_SEC
             and full_tries < MAX_FULL_TRIES
-            and _elapsed() < TOTAL_BUDGET_S - FULL_TRY_COST_S):
+            and _elapsed() < reroll_deadline):
         # One synchronous pass so even a kept probe record carries the
         # stage attribution (transfer/forward/post) of its grant.
         _, stage_ms = engine.run_batch_timed(streams[0], scales)
