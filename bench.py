@@ -414,9 +414,34 @@ def main() -> None:
         return model.init(key, x)
 
     # jit the init: eager op-by-op init is pathological on tunneled TPUs.
-    variables = jax.jit(smap_bench_init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_shape, 3),
-                                         jnp.float32))
+    # Guarded on device backends: transient relay failures at the first
+    # real compile (observed: "remote_compile: response body closed
+    # before all bytes were read") or a wedge must RE-ROLL the grant —
+    # falling through to the top-level handler would publish a 0.0
+    # record for what is a per-grant infrastructure failure.
+    def _init_variables():
+        v = jax.jit(smap_bench_init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_shape, 3),
+                                             jnp.float32))
+        if int(os.environ.get("SMAP_BENCH_SPARSE", "1")):
+            v = jax.jit(sparsify_variables)(v)
+        return jax.block_until_ready(v)
+
+    if jax.default_backend() == "cpu":
+        variables = _init_variables()
+    else:
+        try:
+            with _phase_timeout(420):
+                variables = _init_variables()
+        except Exception as exc:
+            tries = int(os.environ.get("SMAP_BENCH_TRY", "0"))
+            print(f"# model init failed ({type(exc).__name__}); "
+                  f"re-rolling grant (try {tries})", file=sys.stderr,
+                  flush=True)
+            if (tries < MAX_REEXECS
+                    and _elapsed() < TOTAL_BUDGET_S - FULL_TRY_COST_S):
+                _reexec_next_try(tries)
+            _emit_best_and_exit(None, None)
 
     # Random-init weights on noise frames push EVERY heatmap pixel past
     # the 0.2 NMS threshold, which would settle the adaptive ladder on the
@@ -432,9 +457,8 @@ def main() -> None:
     # Honesty: every compiled program's work is input-independent (fixed
     # padded capacities); only the ladder's RUNG CHOICE responds to
     # content, and the record tags the settled rung. SMAP_BENCH_SPARSE=0
-    # keeps the raw random-init maps (worst-case rung) for A/B.
-    if int(os.environ.get("SMAP_BENCH_SPARSE", "1")):
-        variables = jax.jit(sparsify_variables)(variables)
+    # keeps the raw random-init maps (worst-case rung) for A/B. (The
+    # sparsify itself runs inside the guarded _init_variables above.)
     # Seed from os.urandom: fixed-seed frames are byte-identical across
     # every run ever made, and the relay treats repeated payloads
     # differently from cold ones (round-5 link findings) — the measured

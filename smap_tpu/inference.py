@@ -240,7 +240,14 @@ class SMAPInference:
         # serving keeps the replicated tree (packing would need sharding
         # annotations, which are their own pathology on this runtime);
         # SMAP_TPU_PACK_VARS=0 disables for A/B.
-        pack_on = (mesh is None
+        # Quantized (int8-leaf) trees stay unpacked: slicing int8 leaves
+        # out of the packed flat vector crashes the tunneled runtime's
+        # compiler ("Check failed: dim >= 0 (-1 vs. 0)", round-5 bench
+        # validation) while the same packed program in bf16 compiles
+        # fine; the packed form only buys sync-call marshaling anyway.
+        has_int8 = any(getattr(leaf, "dtype", None) == jnp.int8
+                       for leaf in jax.tree.leaves(variables))
+        pack_on = (mesh is None and not has_int8
                    and int(os.environ.get("SMAP_TPU_PACK_VARS", "1")))
         if pack_on:
             from smap_tpu.utils.pack import pack_tree
